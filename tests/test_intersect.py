@@ -1,0 +1,97 @@
+import jax.numpy as jnp
+import numpy as np
+
+from tuturenderer_tpu.ops.intersect import intersect_scene, occluded
+from tuturenderer_tpu.scene.data import SceneBuilder
+from tuturenderer_tpu.utils.vec import Vec3
+
+
+def one_tri_scene():
+    b = SceneBuilder()
+    m = b.add_material()
+    # unit triangle in z=0 plane
+    b.add_triangles(np.asarray([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32),
+                    None, None, m)
+    return b.build()
+
+
+def rays(origins, dirs):
+    o = np.asarray(origins, np.float32)
+    d = np.asarray(dirs, np.float32)
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    return (Vec3(jnp.asarray(o[:, 0]), jnp.asarray(o[:, 1]), jnp.asarray(o[:, 2])),
+            Vec3(jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2])))
+
+
+def test_triangle_hit_miss():
+    s = one_tri_scene()
+    o, d = rays([[0.2, 0.2, 1.0], [2.0, 2.0, 1.0], [0.2, 0.2, 1.0]],
+                [[0, 0, -1], [0, 0, -1], [0, 0, 1]])
+    h = intersect_scene(s, o, d)
+    hit = np.asarray(h.hit)
+    assert hit.tolist() == [True, False, False]
+    np.testing.assert_allclose(float(h.t[0]), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(h.ng.stack())[0], [0, 0, 1], atol=1e-6)
+
+
+def test_triangle_edge_exclusive():
+    # reference accepts strictly interior hits (u,v,1-u-v > 0, Triangle.hpp:49)
+    s = one_tri_scene()
+    o, d = rays([[0.0, 0.0, 1.0]], [[0, 0, -1]])
+    h = intersect_scene(s, o, d)
+    assert not bool(h.hit[0])
+
+
+def test_sphere_hit():
+    b = SceneBuilder()
+    m = b.add_material()
+    b.add_sphere((0, 0, 0), 1.0, m)
+    s = b.build()
+    o, d = rays([[0, 0, 3], [0, 2.5, 3], [0, 0, 0]],
+                [[0, 0, -1], [0, 0, -1], [1, 0, 0]])
+    h = intersect_scene(s, o, d)
+    assert np.asarray(h.hit).tolist() == [True, False, True]
+    np.testing.assert_allclose(float(h.t[0]), 2.0, rtol=1e-5)
+    # ray from inside hits the far surface
+    np.testing.assert_allclose(float(h.t[2]), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(h.ng.stack())[0], [0, 0, 1], atol=1e-5)
+
+
+def test_nearest_of_many():
+    b = SceneBuilder()
+    m = b.add_material()
+    for z in [3.0, 1.0, 2.0]:
+        b.add_triangles(
+            np.asarray([[[-1, -1, z], [1, -1, z], [0, 1, z]]], np.float32),
+            None, None, m)
+    s = b.build()
+    o, d = rays([[0, 0, 0]], [[0, 0, 1]])
+    h = intersect_scene(s, o, d)
+    np.testing.assert_allclose(float(h.t[0]), 1.0, rtol=1e-5)
+
+
+def test_occlusion_distance():
+    s = one_tri_scene()
+    o, d = rays([[0.2, 0.2, 1.0]], [[0, 0, -1]])
+    # blocker at t=1: occluded for dist 2, not for dist 0.5
+    assert bool(occluded(s, o, d, jnp.asarray([2.0]))[0])
+    assert not bool(occluded(s, o, d, jnp.asarray([0.5]))[0])
+    # endpoint epsilon guard: dist == t -> not occluded (BVH.hpp:184)
+    assert not bool(occluded(s, o, d, jnp.asarray([1.0]))[0])
+
+
+def test_barycentric_interpolation():
+    b = SceneBuilder()
+    m = b.add_material()
+    verts = np.asarray([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32)
+    normals = np.asarray([[[0, 0, 1], [1, 0, 0], [0, 1, 0]]], np.float32)
+    uvs = np.asarray([[[0, 0], [1, 0], [0, 1]]], np.float32)
+    b.add_triangles(verts, normals, uvs, m)
+    s = b.build()
+    o, d = rays([[0.25, 0.25, 1.0]], [[0, 0, -1]])
+    h = intersect_scene(s, o, d)
+    np.testing.assert_allclose(float(h.u[0]), 0.25, atol=1e-5)
+    np.testing.assert_allclose(float(h.v[0]), 0.25, atol=1e-5)
+    expect = np.asarray([0.25, 0.25, 0.5])
+    expect = expect / np.linalg.norm(expect)
+    np.testing.assert_allclose(np.asarray(h.ns.stack())[0], expect, atol=1e-5)

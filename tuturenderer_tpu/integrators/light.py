@@ -1,0 +1,177 @@
+"""Light tracing (particle tracing): paths start at emitters and splat to
+the film through the camera projection.
+
+Re-architecture of LightTracing (LightTracing.hpp:25-206). Per sample:
+sample a light point and cosine direction (IIntegrator.hpp:173-220), splat
+the directly visible light through We (LightTracing.hpp:116-122), then
+random-walk with the ADJOINT BSDF (LightTracing.hpp:143-178) and connect
+every vertex to the camera with Geo * We and a shadow test
+(LightTracing.hpp:181-200).
+
+The reference's mutex-protected single-threaded splats become masked
+scatter-adds into the framebuffer (``.at[].add`` with drop mode) — the
+pure-functional replacement for ``FrameBuffer.addRGB`` under a lock; under
+sharding these become per-shard partial films that are psum-reduced.
+
+The direct light->eye splat uses setRGB (overwrite, LightTracing.hpp:121);
+since the written value is the same constant for a given pixel, we
+reproduce it with a scatter that writes emission * We * SPP_inv once
+(max-combine would equal overwrite; we pre-compute the visible-light image
+with one scatter of the constant value per sample and divide by the hit
+count, which is exactly last-write-wins for identical values).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..camera import Camera, importance_we, world_to_pixel_index
+from ..materials import bxdf_eval, bxdf_pdf, bxdf_sample, gather_material
+from ..ops.intersect import intersect_core, occluded, shade_hit
+from ..ops.lights import sample_cosine_dir, sample_light
+from ..options import EPSILON, MIN_DIVISOR, RenderOptions
+from ..utils import rng
+from ..utils.vec import Vec3, reflect, where as vwhere
+from .path import apply_textures
+
+
+def _zeros3(n):
+    z = jnp.zeros((n,), jnp.float32)
+    return Vec3(z, z, z)
+
+
+def geo_term(p1: Vec3, n1: Vec3, p2: Vec3, n2: Vec3):
+    """Geometry term (IIntegrator.hpp:223-230)."""
+    v = p2 - p1
+    d2 = v.norm2()
+    vn = v.normalized(1e-20)
+    return jnp.abs(vn.dot(n1)) * jnp.abs((-vn).dot(n2)) / jnp.maximum(d2, 1e-20)
+
+
+def trace_sample(scene, cam: Camera, lane, sample_idx, seed,
+                 opts: RenderOptions):
+    """One light path per lane. Returns (splat_idx [n, V], splat_rgb x3
+    [n, V]) for V = 1 direct + (lt_max_depth-1) vertex connections."""
+    n = lane.shape[0]
+    eta_scene = scene.eta
+    u = lambda b, p: rng.uniform(seed, lane, sample_idx, b, p)
+
+    ls = sample_light(scene, u(0, rng.LIGHT_PICK), u(0, rng.LIGHT_U),
+                      u(0, rng.LIGHT_V), opts.tutu_light_pick,
+                      opts.tutu_tri_sample)
+    pick_pdf = ls.pdf_area
+    wi, dir_pdf, dir_ok = sample_cosine_dir(
+        ls.ng, u(0, rng.LIGHT_DIR_U0), u(0, rng.LIGHT_DIR_U1))
+    alive = ls.valid & dir_ok
+
+    # direct light -> eye splat (LightTracing.hpp:116-122)
+    orig0 = ls.pos + ls.ng * EPSILON
+    to_cam = cam.position - orig0
+    cam_dist = to_cam.norm()
+    vis = ~occluded(scene, orig0, to_cam * (1.0 / jnp.maximum(cam_dist, 1e-20)),
+                    cam_dist)
+    we0, idx0 = importance_we(cam, ls.pos)
+    direct_rgb = ls.emission * we0
+    direct_idx = jnp.where(ls.valid & vis & (idx0 >= 0), idx0, -1)
+
+    # walk state: tp at NEXT vertex = (1/pickpdf) * cos / dirPdf
+    cos0 = jnp.abs(wi.dot(ls.ng))
+    tp = Vec3(*(3 * [cos0 / jnp.maximum(pick_pdf * dir_pdf, 1e-20)]))
+    state = dict(o=orig0, d=wi, tp=tp, alive=alive)
+
+    idx_list = [direct_idx]
+    rgb_list = [direct_rgb]
+
+    for s in range(1, max(opts.lt_max_depth, 2)):
+        o, d = state['o'], state['d']
+        alive = state['alive']
+        core = intersect_core(scene, o, d)
+        hit = shade_hit(scene, o, d, core)
+        params = gather_material(scene, hit.mat)
+        params, ns = apply_textures(scene, hit, params)
+        hit = hit._replace(ns=ns)
+        alive = alive & hit.hit
+
+        wo = -d
+        tp = state['tp']
+
+        # per-vertex camera connection (LightTracing.hpp:181-200)
+        g = geo_term(cam.position, cam.fwd, hit.pos, hit.ng)
+        wi_c = (cam.position - hit.pos).normalized(1e-20)
+        f_c = bxdf_eval(params, wi_c, wo, hit.ng, hit.ns,
+                        jnp.float32(1.0), adjoint=True)
+        we, idx = importance_we(cam, hit.pos)
+        contrib = ls.emission * f_c * tp * (g * we)
+        inside_c = hit.ns.dot(wo) < 0.0
+        oc = hit.pos + vwhere(inside_c, -hit.ns, hit.ns) * EPSILON
+        toc = cam.position - oc
+        dc = toc.norm()
+        viso = ~occluded(scene, oc, toc * (1.0 / jnp.maximum(dc, 1e-20)), dc)
+        ok = alive & viso & (idx >= 0)
+        idx_list.append(jnp.where(ok, idx, -1))
+        rgb_list.append(contrib)
+
+        # sample continuation with adjoint BSDF (LightTracing.hpp:152-178)
+        samp = bxdf_sample(params, wo, hit.ns, u(s, rng.BSDF_U0),
+                           u(s, rng.BSDF_U1), u(s, rng.BSDF_LOTTERY),
+                           eta_scene, opts.ggx_sample_bug)
+        nwi = samp.wi
+        pdf = bxdf_pdf(params, nwi, wo, hit.ns, eta_scene, params.eta)
+        tir = samp.tir
+        nwi = vwhere(tir, reflect(wo, hit.ns).normalized(1e-20), nwi)
+        pdf = jnp.where(tir, 1.0, pdf)
+        alive = alive & samp.success & (pdf != 0.0) & (pdf >= MIN_DIVISOR)
+        cos = jnp.abs(nwi.dot(hit.ng))
+        f = bxdf_eval(params, nwi, wo, hit.ng, hit.ns, eta_scene,
+                      adjoint=True, tir=tir)
+        tp = tp * f * (cos / jnp.maximum(pdf, 1e-20))
+
+        inside = hit.ns.dot(nwi) < 0.0
+        o2 = hit.pos + vwhere(inside, -hit.ns, hit.ns) * EPSILON
+        state = dict(o=o2, d=nwi, tp=tp, alive=alive)
+
+    return idx_list, rgb_list, direct_idx, direct_rgb
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def render(scene, cam: Camera, opts: RenderOptions, seed=0):
+    p = cam.n_pixels
+    lane = jnp.arange(p, dtype=jnp.int32)
+    spp_inv = 1.0 / opts.spp
+
+    def body(s, carry):
+        fr, fg, fb, dr, dg, db, dmask = carry
+        idx_list, rgb_list, didx, drgb = trace_sample(
+            scene, cam, lane, s, seed, opts)
+        # direct visible-light splat: setRGB overwrite semantics —
+        # record value and mask; identical values make order irrelevant
+        vdid = jnp.where(didx >= 0, didx, p)
+        dr = dr.at[vdid].set(drgb.x * spp_inv, mode='drop')
+        dg = dg.at[vdid].set(drgb.y * spp_inv, mode='drop')
+        db = db.at[vdid].set(drgb.z * spp_inv, mode='drop')
+        dmask = dmask.at[vdid].set(True, mode='drop')
+        # vertex-connection splats: addRGB accumulate
+        for i, (idx, rgb) in enumerate(zip(idx_list, rgb_list)):
+            if i == 0:
+                continue
+            vidx = jnp.where(idx >= 0, idx, p)
+            fr = fr.at[vidx].add(rgb.x * spp_inv, mode='drop')
+            fg = fg.at[vidx].add(rgb.y * spp_inv, mode='drop')
+            fb = fb.at[vidx].add(rgb.z * spp_inv, mode='drop')
+        return fr, fg, fb, dr, dg, db, dmask
+
+    zeros = jnp.zeros((p,), jnp.float32)
+    fmask = jnp.zeros((p,), bool)
+    fr, fg, fb, dr, dg, db, dmask = jax.lax.fori_loop(
+        0, opts.spp, body, (zeros, zeros, zeros, zeros, zeros, zeros, fmask))
+    # film = bkg where nothing written, direct-light overwrite + splats
+    bkg = scene.bkgcolor
+    r = jnp.where(dmask, dr, bkg.x) + fr
+    g = jnp.where(dmask, dg, bkg.y) + fg
+    b = jnp.where(dmask, db, bkg.z) + fb
+    img = jnp.stack([r, g, b], axis=-1)
+    bad = jnp.isnan(img)
+    img = jnp.where(bad, 0.0, img)
+    return img.reshape(cam.height, cam.width, 3)

@@ -1,0 +1,347 @@
+"""Wavefront unidirectional path tracer with NEE + power-heuristic MIS.
+
+This is the TPU re-architecture of the reference's recursive ``traceRay``
+(PathTracing.hpp:136-349): the per-ray recursion becomes a static
+bounce loop (``lax.scan``) over a flat SoA wavefront; per-material virtual
+calls become masked blends; terminated lanes carry a dead mask instead of
+returning. The estimator is numerically the same:
+
+- camera rays through pixel centers (PathTracing.hpp:377-391, 444);
+- at each vertex: NEE light sample with solid-angle-converted MIS weight
+  (PathTracing.hpp:180-219), BSDF sample with the mirrored MIS weight on
+  emissive hits (PathTracing.hpp:222-261), Russian roulette gated by
+  MIN_DEPTH on the running throughput (PathTracing.hpp:263-277);
+- PERFECT_REFRACTIVE / MICROFACET_T vertices take the delta/rough
+  dielectric path with TIR handling (calcForRefractive,
+  PathTracing.hpp:80-134), which skips NEE and resets the RR throughput;
+- emissive surfaces: weight-1 on direct hits, zero on indirect hits not
+  reached through a BSDF-sample MIS strategy (PathTracing.hpp:164-170);
+- misses contribute bkgcolor only for camera rays and refractive-chain
+  continuations (PathTracing.hpp:150 and the structure of the MIS branch,
+  where a missed BSDF sample adds nothing, PathTracing.hpp:234);
+- MIN_DIVISOR kill thresholds reproduced (PathTracing.hpp:215, 257, 272).
+
+Differentiability: with ``stop_gradient`` applied to sampling decisions
+(directions, pdfs, RR) the radiance estimate is differentiable w.r.t. the
+material table (albedo/roughness/metallic/emission) — detached-sampling
+path-replay; see grad.py.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..camera import Camera, primary_ray
+from ..materials import (MatParams, bxdf_eval, bxdf_pdf, bxdf_sample,
+                         d_ndf, gather_material, mis_power_weight)
+from ..ops.intersect import intersect_core, occluded, shade_hit
+from ..ops.lights import light_pdf_of_hit, sample_light
+from ..options import EPSILON, MIN_DIVISOR, RenderOptions
+from ..scene.data import (MICROFACET_T, PERFECT_REFLECTIVE, UNLIT, SceneData)
+from ..utils import rng
+from ..utils.vec import Vec3, reflect, where as vwhere
+
+# lane provenance at loop top (what produced the current ray)
+FROM_CAMERA = 0
+FROM_BSDF = 1       # BSDF sample of a non-refractive vertex (MIS pending)
+FROM_REFRACT = 2    # calcForRefractive continuation
+
+
+def _zeros3(n):
+    z = jnp.zeros((n,), jnp.float32)
+    return Vec3(z, z, z)
+
+
+def apply_textures(scene: SceneData, hit, params: MatParams):
+    """textureModify + changeNormalDir (IIntegrator.hpp:27-127): override
+    diffuse/roughness/metallic from maps and perturb the shading normal via
+    the TBN frame. Returns (params, ns)."""
+    ns = hit.ns
+    if not scene.has_textures:
+        return params, ns
+    dm = scene.materials.diffuse_map[jnp.maximum(hit.mat, 0)]
+    nm = scene.materials.normal_map[jnp.maximum(hit.mat, 0)]
+    rm = scene.materials.roughness_map[jnp.maximum(hit.mat, 0)]
+    mm = scene.materials.metallic_map[jnp.maximum(hit.mat, 0)]
+
+    diffuse = vwhere(dm >= 0, scene.diffuse_maps.sample(dm, hit.u, hit.v),
+                     params.diffuse)
+    rough_tex = scene.roughness_maps.sample(rm, hit.u, hit.v).x
+    roughness = jnp.where(rm >= 0, rough_tex, params.roughness)
+    metal_tex = scene.metallic_maps.sample(mm, hit.u, hit.v).x
+    metallic = jnp.where(mm >= 0, metal_tex, params.metallic)
+
+    # normal map: decoded texel (already in [-1,1]) through TBN
+    texel = scene.normal_maps.sample(nm, hit.u, hit.v)
+    # triangle TBN from UV deltas (IIntegrator.hpp:45-56)
+    from ..ops.intersect import _gather_vec3
+    ti = jnp.where(hit.kind == 0, jnp.maximum(hit.idx, 0), 0)
+    v0 = _gather_vec3(scene.tv0, ti)
+    v1 = _gather_vec3(scene.tv1, ti)
+    v2 = _gather_vec3(scene.tv2, ti)
+    e1 = v1 - v0
+    e2 = v2 - v0
+    du1 = scene.tuv1u[ti] - scene.tuv0u[ti]
+    dv1 = scene.tuv1v[ti] - scene.tuv0v[ti]
+    du2 = scene.tuv2u[ti] - scene.tuv0u[ti]
+    dv2 = scene.tuv2v[ti] - scene.tuv0v[ti]
+    det = -du1 * dv2 + dv1 * du2
+    coef = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    t_tri = ((e1 * (-dv2) + e2 * dv1) * coef).normalized(1e-20)
+    b_tri = ((e1 * (-du2) + e2 * du1) * coef).normalized(1e-20)
+    # sphere analytic tangent (IIntegrator.hpp:67-81)
+    ndir = hit.ng
+    rxy = jnp.sqrt(jnp.maximum(ndir.x * ndir.x + ndir.y * ndir.y, 1e-20))
+    t_sph = Vec3(-ndir.y / rxy, ndir.x / rxy, jnp.zeros_like(ndir.x))
+    b_sph = ndir.cross(t_sph)
+    t_v = vwhere(hit.kind == 0, t_tri, t_sph)
+    b_v = vwhere(hit.kind == 0, b_tri, b_sph)
+    base_n = vwhere(hit.kind == 0, hit.ns, hit.ng)
+    mapped = (t_v * texel.x + b_v * texel.y + base_n * texel.z).normalized(1e-20)
+    ns = vwhere(nm >= 0, mapped, ns)
+
+    return params._replace(diffuse=diffuse, roughness=roughness,
+                           metallic=metallic), ns
+
+
+def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
+               lane, sample_idx, seed, opts: RenderOptions) -> Vec3:
+    """Trace one wavefront of primary rays to completion; returns per-lane
+    radiance (one Monte Carlo sample per lane)."""
+    n = orig.x.shape[0]
+    eta_scene = scene.eta
+    # detached-sampling autodiff: sampling decisions are piecewise-constant
+    # w.r.t. material parameters; gradients flow only through BSDF values,
+    # emission and cosine terms (see module docstring / grad.py)
+    sg = jax.lax.stop_gradient if opts.differentiable else (lambda x: x)
+
+    state = dict(
+        o=orig, d=d,
+        L=_zeros3(n),
+        w=Vec3(jnp.ones((n,)), jnp.ones((n,)), jnp.ones((n,))),  # prefix weight
+        tp=Vec3(jnp.ones((n,)), jnp.ones((n,)), jnp.ones((n,))),  # RR throughput
+        alive=jnp.ones((n,), bool),
+        from_kind=jnp.full((n,), FROM_CAMERA, jnp.int32),
+        prev_pdf=jnp.zeros((n,)),          # BSDF pdf at previous vertex
+        prev_mirror1=jnp.zeros((n,), bool),  # PERFECT_REFLECTIVE pdf==1 case
+        w_em=_zeros3(n),                    # weight if next hit is emissive
+        w_cont=_zeros3(n),                  # weight if path continues
+        cont_ok=jnp.zeros((n,), bool),      # RR survived + divisor gates
+        em_ok=jnp.zeros((n,), bool),
+    )
+
+    def bounce(state, depth):
+        o, d = state['o'], state['d']
+        alive = state['alive']
+        w = state['w']
+        L = state['L']
+        from_kind = state['from_kind']
+
+        u = lambda purpose: rng.uniform(seed, lane, sample_idx, depth, purpose)
+
+        core = intersect_core(scene, o, d)
+        hit = shade_hit(scene, o, d, core)
+        params = gather_material(scene, hit.mat)
+        params, ns = apply_textures(scene, hit, params)
+        hit = hit._replace(ns=ns)
+
+        wo = -d
+
+        # recursion depth limit: traceRay(depth > MAX_DEPTH) returns 0
+        # before looking at anything (PathTracing.hpp:140); the final loop
+        # iteration only resolves the pending BSDF-sample emissive strategy
+        within_depth = depth <= opts.max_depth
+
+        # ---------- miss: bkg for camera/refract chain, nothing for BSDF
+        miss = alive & ~hit.hit
+        add_bkg = miss & (from_kind != FROM_BSDF) & within_depth
+        L = L + vwhere(add_bkg, w * scene.bkgcolor, _zeros3(n))
+        alive = alive & hit.hit
+
+        # ---------- emissive hit resolution
+        emissive = params.emissive & alive
+        #   camera ray: weight-1 emission (PathTracing.hpp:169-170)
+        direct_em = emissive & (from_kind == FROM_CAMERA)
+        L = L + vwhere(direct_em, w * params.emission, _zeros3(n))
+        #   BSDF-sample hit: MIS weighted (PathTracing.hpp:239-260)
+        bsdf_em = emissive & (from_kind == FROM_BSDF)
+        light_pdf_a = light_pdf_of_hit(scene, hit.kind, hit.idx, hit.mat)
+        cos_prime = hit.ns.normalized(1e-20).dot(-d)
+        r2 = core.t * core.t
+        l_pdf_sa = light_pdf_a * r2 / jnp.maximum(cos_prime, 1e-20)
+        w_m = sg(mis_power_weight(state['prev_pdf'], l_pdf_sa))
+        w_m = jnp.where(state['prev_mirror1'], 1.0, w_m)
+        good_em = bsdf_em & (cos_prime > 0.0) & state['em_ok'] & (light_pdf_a > 0)
+        L = L + vwhere(good_em, state['w_em'] * w_m * params.emission, _zeros3(n))
+        #   refract-chain hit on emissive: contributes 0 (PathTracing.hpp:164-165)
+        alive = alive & ~emissive
+
+        # ---------- UNLIT returns diffuse (PathTracing.hpp:161)
+        unlit = alive & (params.mtype == UNLIT) & within_depth
+        L = L + vwhere(unlit & (from_kind != FROM_BSDF), w * params.diffuse,
+                       _zeros3(n))
+        # a BSDF-sampled UNLIT hit falls into the indirect branch; its
+        # continuation returns diffuse next round, carried through w_cont
+        L = L + vwhere(unlit & (from_kind == FROM_BSDF) & state['cont_ok'],
+                       state['w_cont'] * params.diffuse, _zeros3(n))
+        alive = alive & ~unlit & within_depth
+
+        # ---------- indirect continuation bookkeeping for FROM_BSDF lanes
+        # (reference: RR + MIN_DIVISOR gates were evaluated at the previous
+        #  vertex; apply them now that we know the hit is non-emissive)
+        w = vwhere(alive & (from_kind == FROM_BSDF), state['w_cont'], w)
+        alive = alive & jnp.where(from_kind == FROM_BSDF, state['cont_ok'], True)
+
+        refr = params.is_refractive_kind
+        tp = state['tp']
+
+        # ======================================================== NEE
+        do_nee = alive & ~refr
+        ls = sample_light(scene, u(rng.LIGHT_PICK), u(rng.LIGHT_U),
+                          u(rng.LIGHT_V), opts.tutu_light_pick,
+                          opts.tutu_tri_sample)
+        ls = ls._replace(pos=sg(ls.pos), ng=sg(ls.ng),
+                         pdf_area=sg(ls.pdf_area))
+        ray_inside = hit.ns.dot(wo) < 0.0
+        sh_orig = hit.pos + vwhere(ray_inside, -hit.ns, hit.ns) * EPSILON
+        lpos_off = ls.pos + ls.ng * EPSILON
+        to_l = lpos_off - sh_orig
+        dist_l = to_l.norm()
+        blocked = occluded(scene, sh_orig, to_l * (1.0 / jnp.maximum(dist_l, 1e-20)),
+                           dist_l)
+        wi_l = (ls.pos - hit.pos)
+        r2_l = wi_l.norm2()
+        wi_l = wi_l.normalized(1e-20)
+        facing = wi_l.dot(ls.ng) <= 0.0          # PathTracing.hpp:197
+        cos_p = ls.ng.normalized(1e-20).dot(-wi_l)
+        nee_live = do_nee & ls.valid & ~blocked & facing & (cos_p > 0.0)
+        mat_pdf_l = sg(bxdf_pdf(params, wi_l, wo, hit.ns, eta_scene, params.eta))
+        l_pdf_sa2 = ls.pdf_area * r2_l / jnp.maximum(cos_p, 1e-20)
+        w_l = sg(mis_power_weight(l_pdf_sa2, mat_pdf_l))
+        f_r_l = bxdf_eval(params, wi_l, wo, hit.ng, hit.ns, eta_scene)
+        cos_t = jnp.abs(hit.ng.dot(wi_l))
+        denom = r2_l * ls.pdf_area
+        #   reference kills the whole path when r2*pdf_l < MIN_DIVISOR
+        kill = nee_live & (denom < MIN_DIVISOR)
+        contrib = ls.emission * f_r_l * (w_l * cos_t * cos_p /
+                                         jnp.maximum(denom, 1e-20))
+        L = L + vwhere(nee_live & ~kill, w * contrib, _zeros3(n))
+        alive = alive & ~kill
+
+        # ======================================================== BSDF sample
+        #   regular lanes (PathTracing.hpp:222-231)
+        samp = bxdf_sample(params, wo, hit.ns, u(rng.BSDF_U0), u(rng.BSDF_U1),
+                           u(rng.BSDF_LOTTERY), eta_scene,
+                           opts.ggx_sample_bug)
+        samp = samp._replace(wi=sg(samp.wi))
+        wi = samp.wi
+        mat_pdf = sg(bxdf_pdf(params, wi, wo, hit.ns, eta_scene, params.eta))
+
+        #   refractive lanes: calcForRefractive (PathTracing.hpp:80-134)
+        tir = samp.tir
+        wi_tir = reflect(wo, hit.ns).normalized(1e-20)
+        #   MICROFACET_T TIR pdf correction (PathTracing.hpp:101-114)
+        flip_r = wo.dot(hit.ng) < 0.0
+        i_ns = vwhere(flip_r, -hit.ns, hit.ns)
+        eta_pass = jnp.where(flip_r & (params.mtype == MICROFACET_T) & tir,
+                             params.eta, eta_scene)
+        h_tir = (wo + wi_tir).normalized(1e-20)
+        cos_h = jnp.abs(i_ns.dot(h_tir))
+        pdf_tir_mt = d_ndf(h_tir, i_ns, params.roughness) * cos_h / \
+            jnp.maximum(4.0 * wo.dot(h_tir), 1e-20)
+        pdf_tir = jnp.where(params.mtype == MICROFACET_T, pdf_tir_mt, 1.0)
+        wi = vwhere(refr & tir, wi_tir, wi)
+        mat_pdf = jnp.where(refr & tir, sg(pdf_tir), mat_pdf)
+        eta_for_eval = jnp.where(refr, eta_pass, eta_scene)
+        eta_for_eval = jnp.where(refr & ~tir, eta_scene, eta_for_eval)
+
+        f_r = bxdf_eval(params, wi, wo, hit.ng, hit.ns, eta_for_eval,
+                        adjoint=False, tir=refr & tir)
+
+        fail = alive & ~refr & ~samp.success
+        alive = alive & (refr | samp.success)
+
+        cos_n = jnp.abs(hit.ng.dot(wi))
+
+        #   RR draw happens at this vertex (PathTracing.hpp:263-268)
+        tp_eff = vwhere(depth > opts.min_depth, tp, Vec3(
+            jnp.ones((n,)), jnp.ones((n,)), jnp.ones((n,))))
+        rr_prob = sg(jnp.clip(tp_eff.max_component(), 0.0, 1.0)) \
+            if opts.russian_roulette else jnp.ones((n,))
+        rr_survive = u(rng.RR) <= rr_prob
+
+        base = f_r * (cos_n / jnp.maximum(mat_pdf, 1e-20))
+        em_ok = mat_pdf >= MIN_DIVISOR
+        cont_ok = rr_survive & (mat_pdf * rr_prob >= MIN_DIVISOR)
+        coe = base * (1.0 / jnp.maximum(rr_prob, 1e-20))
+
+        #   refractive lanes: no NEE/RR; gate pdf >= MIN_DIVISOR, reset tp
+        refr_ok = mat_pdf >= MIN_DIVISOR
+
+        new_from = jnp.where(refr, FROM_REFRACT, FROM_BSDF)
+        w_em = w * base
+        w_cont = w * coe
+        w_next = vwhere(refr, w * base, w)
+        tp_next = vwhere(refr, Vec3(jnp.ones((n,)), jnp.ones((n,)),
+                                    jnp.ones((n,))), tp_eff * coe)
+
+        alive_next = alive & jnp.where(refr, refr_ok, True)
+        # non-refractive lanes stay "alive" into the next bounce even if
+        # cont_ok is false, because the emissive-hit strategy (em_ok) may
+        # still pay out; fully dead only if both gates fail
+        alive_next = alive_next & jnp.where(refr, True, em_ok | cont_ok)
+
+        ray_o = hit.pos + vwhere(wi.dot(hit.ns) < 0.0, -hit.ns, hit.ns) * EPSILON
+
+        new_state = dict(
+            o=ray_o, d=wi, L=L, w=w_next, tp=tp_next,
+            alive=alive_next & ~fail,
+            from_kind=new_from,
+            prev_pdf=mat_pdf,
+            prev_mirror1=(params.mtype == PERFECT_REFLECTIVE) & (mat_pdf == 1.0),
+            w_em=w_em, w_cont=w_cont,
+            cont_ok=cont_ok & alive, em_ok=em_ok & alive,
+        )
+        return new_state, None
+
+    # vertices at depth 0..max_depth, plus one resolution-only iteration for
+    # the final BSDF-sample emissive hit (recursion depth max_depth+1 in the
+    # reference returns 0 for everything else)
+    depths = jnp.arange(opts.max_depth + 2, dtype=jnp.int32)
+    state, _ = jax.lax.scan(bounce, state, depths)
+    return state['L']
+
+
+def render_sample(scene: SceneData, cam: Camera, px, py, lane, sample_idx,
+                  seed, opts: RenderOptions) -> Vec3:
+    if opts.jitter:
+        jx = rng.uniform(seed, lane, sample_idx, 0, rng.PIXEL_JX)
+        jy = rng.uniform(seed, lane, sample_idx, 0, rng.PIXEL_JY)
+        o, d, _ = primary_ray(cam, px, py, jx, jy)
+    else:
+        o, d, _ = primary_ray(cam, px, py)
+    L = trace_rays(scene, cam, o, d, lane, sample_idx, seed, opts)
+    # NaN sample rejection (PathTracing.hpp:510-511)
+    bad = jnp.isnan(L.x) | jnp.isnan(L.y) | jnp.isnan(L.z)
+    return vwhere(bad, _zeros3(px.shape[0]), L)
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def render(scene: SceneData, cam: Camera, opts: RenderOptions, seed=0):
+    """Full-frame render -> [H, W, 3] linear radiance."""
+    p = cam.n_pixels
+    lane = jnp.arange(p, dtype=jnp.int32)
+    px = lane % cam.width
+    py = lane // cam.width
+
+    def body(s, acc):
+        L = render_sample(scene, cam, px, py, lane, s, seed, opts)
+        return (acc[0] + L.x, acc[1] + L.y, acc[2] + L.z)
+
+    zeros = jnp.zeros((p,), jnp.float32)
+    acc = jax.lax.fori_loop(0, opts.spp, body, (zeros, zeros, zeros))
+    inv = 1.0 / opts.spp
+    img = jnp.stack([acc[0] * inv, acc[1] * inv, acc[2] * inv], axis=-1)
+    return img.reshape(cam.height, cam.width, 3)

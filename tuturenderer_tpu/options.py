@@ -1,0 +1,38 @@
+"""Render configuration.
+
+One declarative options object replaces the reference's two-tier config:
+compile-time #defines (global.hpp:14-33, MAX_DEPTH PathTracing.hpp:5-6,
+MAXDEPTH LightTracing.hpp:6, MAX_PATHLENGTH BDPT.hpp:8) plus the runtime
+keyword file (PPMGenerator.hpp:488-791). All fields are static Python
+values: they select compiled program variants.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+EPSILON = 5e-4          # global.hpp:16
+MIN_DIVISOR = 0.04      # global.hpp:26
+GAMMA_VAL = 0.78        # global.hpp:30
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderOptions:
+    spp: int = 64                 # global.hpp:19
+    max_depth: int = 6            # PathTracing.hpp:5
+    min_depth: int = 3            # PathTracing.hpp:6 (RR warmup)
+    lt_max_depth: int = 2         # LightTracing.hpp:6 (shared MAXDEPTH)
+    bdpt_max_path_length: int = 7  # BDPT.hpp:8
+    mis: bool = True              # global.hpp:25
+    russian_roulette: bool = True
+    jitter: bool = False          # reference has no sub-pixel jitter
+    gamma: float = GAMMA_VAL
+    # compat knobs reproducing reference quirks (see SURVEY.md quirks list)
+    tutu_light_pick: bool = False
+    tutu_tri_sample: bool = False
+    ggx_sample_bug: bool = False
+    # batching: rays processed per device dispatch (0 = whole frame)
+    rays_per_pass: int = 0
+    # detach sampling decisions (directions, pdfs, RR, MIS weights) so the
+    # estimator is differentiable w.r.t. material parameters with correct
+    # detached-sampling gradients
+    differentiable: bool = False
