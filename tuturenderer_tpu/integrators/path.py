@@ -306,12 +306,27 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         )
         return new_state, None
 
-    # vertices at depth 0..max_depth, plus one resolution-only iteration for
-    # the final BSDF-sample emissive hit (recursion depth max_depth+1 in the
-    # reference returns 0 for everything else)
-    depths = jnp.arange(opts.max_depth + 2, dtype=jnp.int32)
+    # vertices at depth 0..max_depth; the final BSDF-sample emissive hit at
+    # recursion depth max_depth+1 (where the reference's traceRay returns 0
+    # for everything else, PathTracing.hpp:140) is resolved by a cheap
+    # epilogue: one intersection, no NEE/sampling
+    depths = jnp.arange(opts.max_depth + 1, dtype=jnp.int32)
     state, _ = jax.lax.scan(bounce, state, depths)
-    return state['L']
+
+    L = state['L']
+    pending = state['alive'] & (state['from_kind'] == FROM_BSDF)
+    core = intersect_core(scene, state['o'], state['d'])
+    hit = shade_hit(scene, state['o'], state['d'], core)
+    params = gather_material(scene, hit.mat)
+    emissive = params.emissive & pending & hit.hit
+    light_pdf_a = light_pdf_of_hit(scene, hit.kind, hit.idx, hit.mat)
+    cos_prime = hit.ns.normalized(1e-20).dot(-state['d'])
+    l_pdf_sa = light_pdf_a * core.t * core.t / jnp.maximum(cos_prime, 1e-20)
+    w_m = sg(mis_power_weight(state['prev_pdf'], l_pdf_sa))
+    w_m = jnp.where(state['prev_mirror1'], 1.0, w_m)
+    good = emissive & (cos_prime > 0.0) & state['em_ok'] & (light_pdf_a > 0)
+    L = L + vwhere(good, state['w_em'] * w_m * params.emission, _zeros3(n))
+    return L
 
 
 def render_sample(scene: SceneData, cam: Camera, px, py, lane, sample_idx,

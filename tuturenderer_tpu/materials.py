@@ -68,9 +68,14 @@ def gather_material(scene: SceneData, mat_idx) -> MatParams:
 
 # ---------------------------------------------------------------- helpers
 
+def _pow5(x):
+    x2 = x * x
+    return x2 * x2 * x
+
+
 def fresnel_schlick_v(cos_theta, f0: Vec3) -> Vec3:
     """Schlick with Vec3 F0 (global.hpp:236-239)."""
-    p = jnp.power(jnp.clip(1.0 - cos_theta, 0.0, 1.0), 5.0)
+    p = _pow5(jnp.clip(1.0 - cos_theta, 0.0, 1.0))
     return f0 + (1.0 - f0) * p
 
 
@@ -79,7 +84,7 @@ def fresnel_ior(i: Vec3, n: Vec3, eta_i, eta_t):
     cos = i.dot(n)
     cos = jnp.abs(cos)
     f0 = ((eta_t - eta_i) / (eta_t + eta_i)) ** 2
-    return f0 + (1.0 - f0) * jnp.power(jnp.clip(1.0 - cos, 0.0, 1.0), 5.0)
+    return f0 + (1.0 - f0) * _pow5(jnp.clip(1.0 - cos, 0.0, 1.0))
 
 
 def d_ndf(h: Vec3, n: Vec3, roughness):

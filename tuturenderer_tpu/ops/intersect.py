@@ -158,20 +158,27 @@ def _sphere_best(scene: SceneData, orig: Vec3, d: Vec3, best: HitCore) -> HitCor
 
 
 def intersect_core(scene: SceneData, orig: Vec3, d: Vec3) -> HitCore:
-    """Nearest hit of each ray against the whole scene."""
-    n = orig.x.shape[0]
-    best = HitCore(
-        t=jnp.full((n,), F32_MAX),
-        kind=jnp.zeros((n,), jnp.int32),
-        idx=jnp.full((n,), -1, jnp.int32),
-        bu=jnp.zeros((n,)), bv=jnp.zeros((n,)),
-    )
-    t_count = scene.n_tris
-    lo = 0
-    while lo < t_count:
-        size = min(CHUNK, t_count - lo)
-        best = _tri_chunk_best(scene, orig, d, lo, size, best)
-        lo += size
+    """Nearest hit of each ray against the whole scene. Uses the flattened
+    BVH when the scene carries one (large meshes); dense streaming
+    otherwise — the strategy selection mirroring the reference's EXPEDITE
+    switch (Renderer.hpp:38-39), decided per scene at build time."""
+    if scene.bvh is not None:
+        from .bvh import bvh_intersect
+        best = bvh_intersect(scene, scene.bvh, orig, d)
+    else:
+        n = orig.x.shape[0]
+        best = HitCore(
+            t=jnp.full((n,), F32_MAX),
+            kind=jnp.zeros((n,), jnp.int32),
+            idx=jnp.full((n,), -1, jnp.int32),
+            bu=jnp.zeros((n,)), bv=jnp.zeros((n,)),
+        )
+        t_count = scene.n_tris
+        lo = 0
+        while lo < t_count:
+            size = min(CHUNK, t_count - lo)
+            best = _tri_chunk_best(scene, orig, d, lo, size, best)
+            lo += size
     best = _sphere_best(scene, orig, d, best)
     # set idx=-1 lanes consistent
     miss = best.t >= F32_MAX
@@ -216,29 +223,37 @@ def shade_hit(scene: SceneData, orig: Vec3, d: Vec3, core: HitCore) -> HitRecord
         u_tri = v_tri = zeros
         mat_tri = jnp.zeros_like(core.idx)
 
-    # sphere attributes
-    si = jnp.where(is_tri, 0, safe_idx)
-    c = _gather_vec3(scene.scenter, si) if scene.n_spheres else zerov
-    ng_sph = (pos - c).normalized(1e-30)
-    # spherical uv (Sphere.hpp:59-77): v = acos(z)/pi, u = atan2(y,x)/2pi in [0,1)
-    phi = jnp.arccos(jnp.clip(ng_sph.z, -1.0, 1.0))
-    v_sph = phi / jnp.pi
-    theta = jnp.arctan2(ng_sph.y, ng_sph.x)
-    theta = jnp.where(theta < 0, theta + 2.0 * jnp.pi, theta)
-    u_sph = theta / (2.0 * jnp.pi)
-    mat_sph = scene.smat[si] if scene.n_spheres else jnp.zeros_like(mat_tri)
+    # sphere attributes (skipped entirely for triangle-only scenes)
+    if scene.n_spheres:
+        si = jnp.where(is_tri, 0, safe_idx)
+        c = _gather_vec3(scene.scenter, si)
+        ng_sph = (pos - c).normalized(1e-30)
+        # spherical uv (Sphere.hpp:59-77): v = acos(z)/pi, u = atan2/2pi
+        phi = jnp.arccos(jnp.clip(ng_sph.z, -1.0, 1.0))
+        v_sph = phi / jnp.pi
+        theta = jnp.arctan2(ng_sph.y, ng_sph.x)
+        theta = jnp.where(theta < 0, theta + 2.0 * jnp.pi, theta)
+        u_sph = theta / (2.0 * jnp.pi)
+        mat_sph = scene.smat[si]
+        ng = vwhere(is_tri, ng_tri, ng_sph)
+        ns = vwhere(is_tri, ns_tri, ng_sph)
+        u = jnp.where(is_tri, u_tri, u_sph)
+        v = jnp.where(is_tri, v_tri, v_sph)
+        mat = jnp.where(core.hit, jnp.where(is_tri, mat_tri, mat_sph), 0)
+    else:
+        ng, ns = ng_tri, ns_tri
+        u, v = u_tri, v_tri
+        mat = jnp.where(core.hit, mat_tri, 0)
 
-    ng = vwhere(is_tri, ng_tri, ng_sph)
-    ns = vwhere(is_tri, ns_tri, ng_sph)
     return HitRecord(
         t=core.t,
         hit=core.hit,
         pos=pos,
         ng=ng,
         ns=ns,
-        u=jnp.where(is_tri, u_tri, u_sph),
-        v=jnp.where(is_tri, v_tri, v_sph),
-        mat=jnp.where(core.hit, jnp.where(is_tri, mat_tri, mat_sph), 0),
+        u=u,
+        v=v,
+        mat=mat,
         kind=core.kind,
         idx=core.idx,
     )

@@ -121,6 +121,8 @@ class SceneData:
     # globals
     bkgcolor: Vec3           # scalar Vec3
     eta: jnp.ndarray         # scene index of refraction (scalar)
+    # acceleration structure (None = dense streaming intersection)
+    bvh: object
     # static metadata
     has_textures: bool = dataclasses.field(metadata=dict(static=True))
 
@@ -247,7 +249,9 @@ class SceneBuilder:
         self._sph_mat.append(int(material))
 
     # ---- build ----
-    def build(self) -> SceneData:
+    def build(self, use_bvh=None) -> SceneData:
+        """use_bvh: None = auto (BVH when the triangle count exceeds the
+        dense-streaming threshold), True/False to force."""
         if self._tris:
             verts = np.concatenate(self._tris, 0)
             normals = np.concatenate(self._tri_normals, 0)
@@ -333,5 +337,14 @@ class SceneBuilder:
                           jnp.float32(self.bkgcolor[1]),
                           jnp.float32(self.bkgcolor[2])),
             eta=jnp.float32(self.eta),
+            bvh=self._maybe_bvh(verts, use_bvh),
             has_textures=any(len(v) > 0 for v in self.textures.values()),
         )
+
+    def _maybe_bvh(self, verts: np.ndarray, use_bvh):
+        from ..ops.bvh import BVH_THRESHOLD, build_bvh
+        if use_bvh is None:
+            use_bvh = verts.shape[0] >= BVH_THRESHOLD
+        if not use_bvh or verts.shape[0] == 0:
+            return None
+        return build_bvh(verts)

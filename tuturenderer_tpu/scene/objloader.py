@@ -55,7 +55,21 @@ def _resolve(idx: int, n: int) -> int:
     return idx - 1 if idx > 0 else n + idx
 
 
-def load_obj(path: str) -> Mesh:
+def load_obj(path: str, prefer_native: bool = True) -> Mesh:
+    if prefer_native:
+        try:
+            from ..native import obj_load
+            r = obj_load(path)
+            if r is not None:
+                return Mesh(*r)
+        except FileNotFoundError:
+            raise
+        except Exception:
+            pass  # fall back to the Python parser
+    return _load_obj_py(path)
+
+
+def _load_obj_py(path: str) -> Mesh:
     positions: List[List[float]] = []
     uvs: List[List[float]] = []
     normals: List[List[float]] = []
