@@ -69,14 +69,14 @@ def geo(p1: Vec3, n1: Vec3, p2: Vec3, n2: Vec3):
 
 
 def _vertex_pdfs(params: MatParams, wi: Vec3, wo: Vec3, ns: Vec3, ng: Vec3,
-                 dir_pdf, eta_scene):
+                 dir_pdf, eta_scene, types=None):
     """fwd/rev projected-solid-angle pdfs + delta flag for a walk vertex
     (BDPT.hpp:256-267)."""
     cos_f = jnp.abs(wi.dot(ng))
     fwd = dir_pdf / jnp.maximum(cos_f, 1e-20)
     is_delta = (params.mtype == PERFECT_REFLECTIVE) | \
         (params.mtype == PERFECT_REFRACTIVE)
-    rev_raw = bxdf_pdf(params, wo, wi, ns, eta_scene, params.eta)
+    rev_raw = bxdf_pdf(params, wo, wi, ns, eta_scene, params.eta, types=types)
     rev = rev_raw / jnp.maximum(jnp.abs(wo.dot(ng)), 1e-20)
     rev = jnp.where(is_delta, fwd, rev)
     return fwd, rev, is_delta
@@ -118,14 +118,15 @@ def _walk(scene, cam, o, d, tp0: Vec3, lane, sample_idx, seed, opts,
         samp = bxdf_sample(params, wo, hit.ns, u(u0t), u(u1t), u(lott),
                            eta_scene, opts.ggx_sample_bug)
         wi = samp.wi
-        dir_pdf = bxdf_pdf(params, wi, wo, hit.ns, eta_scene, params.eta)
+        dir_pdf = bxdf_pdf(params, wi, wo, hit.ns, eta_scene, params.eta, types=scene.mtype_set)
         tir = samp.tir
         wi = vwhere(tir, reflect(wo, hit.ns).normalized(1e-20), wi)
         dir_pdf = jnp.where(tir, 1.0, dir_pdf)
 
         stored = exists & samp.success & (dir_pdf != 0.0)
         fwd, rev, is_delta = _vertex_pdfs(params, wi, wo, hit.ns, hit.ng,
-                                          dir_pdf, eta_scene)
+                                          dir_pdf, eta_scene,
+                                          types=scene.mtype_set)
         g = geo(prev_pos, prev_ng if prev_ng is not None else hit.ng,
                 hit.pos, hit.ng)
 
@@ -138,7 +139,7 @@ def _walk(scene, cam, o, d, tp0: Vec3, lane, sample_idx, seed, opts,
 
         emissive = params.emissive
         f = bxdf_eval(params, wi, wo, hit.ng, hit.ns, eta_scene,
-                      adjoint=adjoint, tir=tir)
+                      adjoint=adjoint, tir=tir, types=scene.mtype_set)
         cos = jnp.abs(wi.dot(hit.ng))
         walking = stored & ~emissive & (dir_pdf >= MIN_DIVISOR)
         tp = tp * f * (cos / jnp.maximum(dir_pdf, 1e-20))
@@ -235,10 +236,10 @@ def build_light_path(scene, cam: Camera, lane, sample_idx, seed,
 
 
 def _proj_pdf(params: MatParams, wi: Vec3, wo: Vec3, ns: Vec3, ng: Vec3,
-              eta_scene):
+              eta_scene, types=None):
     """pdf(wi, wo, Ns)/|wi.Ng| — projected-solid-angle re-evaluation used
     at connection ends (BDPT.hpp:108-140)."""
-    p = bxdf_pdf(params, wi, wo, ns, eta_scene, params.eta)
+    p = bxdf_pdf(params, wi, wo, ns, eta_scene, params.eta, types=types)
     return p / jnp.maximum(jnp.abs(wi.dot(ng)), 1e-20)
 
 
@@ -272,30 +273,30 @@ def mis_weight(scene, cam: Camera, ep, lp, s: int, t: int, eta_scene):
             pdf_t_rev = jnp.zeros((n,)) + cam.lens_area_inv
             s2prev = (lp[s - 2]['pos'] - s_end['pos']).normalized(1e-20)
             pdf_s_fwd = _proj_pdf(s_end['params'], -cam2s, s2prev,
-                                  s_end['ns'], s_end['ng'], eta_scene)
+                                  s_end['ns'], s_end['ng'], eta_scene, types=scene.mtype_set)
             pdf_s_rev = _proj_pdf(s_end['params'], s2prev, -cam2s,
-                                  s_end['ns'], s_end['ng'], eta_scene)
+                                  s_end['ns'], s_end['ng'], eta_scene, types=scene.mtype_set)
         elif s == 1:
             l2t = (t_end['pos'] - s_end['pos']).normalized(1e-20)
             pdf_s_fwd = jnp.full((n,), 1.0 / PI)
             pdf_s_rev = s_end['rev']     # pickpdf stash
             t2prev = (ep[t - 2]['pos'] - t_end['pos']).normalized(1e-20)
             pdf_t_fwd = _proj_pdf(t_end['params'], -l2t, t2prev,
-                                  t_end['ns'], t_end['ng'], eta_scene)
+                                  t_end['ns'], t_end['ng'], eta_scene, types=scene.mtype_set)
             pdf_t_rev = _proj_pdf(t_end['params'], t2prev, -l2t,
-                                  t_end['ns'], t_end['ng'], eta_scene)
+                                  t_end['ns'], t_end['ng'], eta_scene, types=scene.mtype_set)
         else:
             s2t = (t_end['pos'] - s_end['pos']).normalized(1e-20)
             s2prev = (lp[s - 2]['pos'] - s_end['pos']).normalized(1e-20)
             t2prev = (ep[t - 2]['pos'] - t_end['pos']).normalized(1e-20)
             pdf_s_fwd = _proj_pdf(s_end['params'], s2t, s2prev,
-                                  s_end['ns'], s_end['ng'], eta_scene)
+                                  s_end['ns'], s_end['ng'], eta_scene, types=scene.mtype_set)
             pdf_s_rev = _proj_pdf(s_end['params'], s2prev, s2t,
-                                  s_end['ns'], s_end['ng'], eta_scene)
+                                  s_end['ns'], s_end['ng'], eta_scene, types=scene.mtype_set)
             pdf_t_fwd = _proj_pdf(t_end['params'], -s2t, t2prev,
-                                  t_end['ns'], t_end['ng'], eta_scene)
+                                  t_end['ns'], t_end['ng'], eta_scene, types=scene.mtype_set)
             pdf_t_rev = _proj_pdf(t_end['params'], t2prev, -s2t,
-                                  t_end['ns'], t_end['ng'], eta_scene)
+                                  t_end['ns'], t_end['ng'], eta_scene, types=scene.mtype_set)
 
     # ---- mis nodes (BDPT.hpp:147-185)
     toward_light = [None] * (s + t)
@@ -421,7 +422,8 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
                     wo = (lp[s - 2]['pos'] - lv['pos']).normalized(1e-20)
                     inside = wi.dot(lv['ns']) < 0.0
                     bsdf = bxdf_eval(lv['params'], wi, wo, lv['ng'], lv['ns'],
-                                     eta_scene, adjoint=True)
+                                     eta_scene, adjoint=True,
+                                     types=scene.mtype_set)
                 g = geo(cam.position, cam.fwd, lv['pos'], lv['ng'])
                 we_v, idx = importance_we(cam, lv['pos'])
                 contrib = l_emission * bsdf * lv['tp'] * (g * we_v / opts.spp)
@@ -450,7 +452,7 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
             connect = (ev['pos'] - lv['pos']).normalized(1e-20)
             e_wo = (ep[t - 2]['pos'] - ev['pos']).normalized(1e-20)
             ev_bsdf = bxdf_eval(ev['params'], -connect, e_wo, ev['ng'],
-                                ev['ns'], eta_scene)
+                                ev['ns'], eta_scene, types=scene.mtype_set)
             if s == 1:
                 facing = connect.dot(lv['ns']) >= 0.0
                 lv_bsdf = vwhere(facing, _ones3(n), _zeros3(n))
@@ -458,7 +460,8 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
             else:
                 l_wo = (lp[s - 2]['pos'] - lv['pos']).normalized(1e-20)
                 lv_bsdf = bxdf_eval(lv['params'], connect, l_wo, lv['ng'],
-                                    lv['ns'], eta_scene, adjoint=True)
+                                    lv['ns'], eta_scene, adjoint=True,
+                                    types=scene.mtype_set)
             e_inside = e_wo.dot(ev['ns']) < 0.0
             e_orig = ev['pos'] + vwhere(e_inside, -ev['ns'], ev['ns']) * EPSILON
             if s == 1:

@@ -101,7 +101,8 @@ def trace_sample(scene, cam: Camera, lane, sample_idx, seed,
         g = geo_term(cam.position, cam.fwd, hit.pos, hit.ng)
         wi_c = (cam.position - hit.pos).normalized(1e-20)
         f_c = bxdf_eval(params, wi_c, wo, hit.ng, hit.ns,
-                        jnp.float32(1.0), adjoint=True)
+                        jnp.float32(1.0), adjoint=True,
+                        types=scene.mtype_set)
         we, idx = importance_we(cam, hit.pos)
         contrib = ls.emission * f_c * tp * (g * we)
         inside_c = hit.ns.dot(wo) < 0.0
@@ -118,14 +119,14 @@ def trace_sample(scene, cam: Camera, lane, sample_idx, seed,
                            u(s, rng.BSDF_U1), u(s, rng.BSDF_LOTTERY),
                            eta_scene, opts.ggx_sample_bug)
         nwi = samp.wi
-        pdf = bxdf_pdf(params, nwi, wo, hit.ns, eta_scene, params.eta)
+        pdf = bxdf_pdf(params, nwi, wo, hit.ns, eta_scene, params.eta, types=scene.mtype_set)
         tir = samp.tir
         nwi = vwhere(tir, reflect(wo, hit.ns).normalized(1e-20), nwi)
         pdf = jnp.where(tir, 1.0, pdf)
         alive = alive & samp.success & (pdf != 0.0) & (pdf >= MIN_DIVISOR)
         cos = jnp.abs(nwi.dot(hit.ng))
         f = bxdf_eval(params, nwi, wo, hit.ng, hit.ns, eta_scene,
-                      adjoint=True, tir=tir)
+                      adjoint=True, tir=tir, types=scene.mtype_set)
         tp = tp * f * (cos / jnp.maximum(pdf, 1e-20))
 
         inside = hit.ns.dot(nwi) < 0.0

@@ -77,14 +77,15 @@ def trace_sample(scene, cam: Camera, px, py, lane, sample_idx, seed,
                            u(rng.BSDF_LOTTERY), eta_scene,
                            opts.ggx_sample_bug)
         wi = samp.wi
-        pdf = bxdf_pdf(params, wi, wo, ng, eta_scene, params.eta)
+        pdf = bxdf_pdf(params, wi, wo, ng, eta_scene, params.eta, types=scene.mtype_set)
         tir = samp.tir
         wi = vwhere(tir, reflect(wo, ng).normalized(1e-20), wi)
         pdf = jnp.where(tir, 1.0, pdf)
         alive = alive & (samp.success | tir) & (pdf != 0.0) & \
             (pdf >= MIN_DIVISOR)
         cos = jnp.abs(wi.dot(ng))
-        f = bxdf_eval(params, wi, wo, ng, ng, eta_scene, tir=tir)
+        f = bxdf_eval(params, wi, wo, ng, ng, eta_scene, tir=tir,
+                      types=scene.mtype_set)
         tp = state['tp'] * f * (cos / jnp.maximum(pdf, 1e-20))
 
         ray_inside = ng.dot(wi) < 0.0

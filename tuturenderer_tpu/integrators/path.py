@@ -112,6 +112,9 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
     radiance (one Monte Carlo sample per lane)."""
     n = orig.x.shape[0]
     eta_scene = scene.eta
+    types = scene.mtype_set
+    from ..scene.data import PERFECT_REFRACTIVE as _PR
+    refr_possible = (MICROFACET_T in types) or (_PR in types)
     # detached-sampling autodiff: sampling decisions are piecewise-constant
     # w.r.t. material parameters; gradients flow only through BSDF values,
     # emission and cosine terms (see module docstring / grad.py)
@@ -169,11 +172,13 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         bsdf_em = emissive & (from_kind == FROM_BSDF)
         light_pdf_a = light_pdf_of_hit(scene, hit.kind, hit.idx, hit.mat)
         cos_prime = hit.ns.normalized(1e-20).dot(-d)
-        r2 = core.t * core.t
+        t_hit = jnp.where(hit.hit, core.t, 1.0)
+        r2 = t_hit * t_hit
         l_pdf_sa = light_pdf_a * r2 / jnp.maximum(cos_prime, 1e-20)
         w_m = sg(mis_power_weight(state['prev_pdf'], l_pdf_sa))
         w_m = jnp.where(state['prev_mirror1'], 1.0, w_m)
         good_em = bsdf_em & (cos_prime > 0.0) & state['em_ok'] & (light_pdf_a > 0)
+        w_m = jnp.where(good_em, w_m, 0.0)   # keep masked infs out of products
         L = L + vwhere(good_em, state['w_em'] * w_m * params.emission, _zeros3(n))
         #   refract-chain hit on emissive: contributes 0 (PathTracing.hpp:164-165)
         alive = alive & ~emissive
@@ -217,27 +222,31 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         facing = wi_l.dot(ls.ng) <= 0.0          # PathTracing.hpp:197
         cos_p = ls.ng.normalized(1e-20).dot(-wi_l)
         nee_live = do_nee & ls.valid & ~blocked & facing & (cos_p > 0.0)
-        mat_pdf_l = sg(bxdf_pdf(params, wi_l, wo, hit.ns, eta_scene, params.eta))
+        mat_pdf_l = sg(bxdf_pdf(params, wi_l, wo, hit.ns, eta_scene,
+                                params.eta, types=types))
         l_pdf_sa2 = ls.pdf_area * r2_l / jnp.maximum(cos_p, 1e-20)
         w_l = sg(mis_power_weight(l_pdf_sa2, mat_pdf_l))
-        f_r_l = bxdf_eval(params, wi_l, wo, hit.ng, hit.ns, eta_scene)
+        f_r_l = bxdf_eval(params, wi_l, wo, hit.ng, hit.ns, eta_scene,
+                          types=types)
         cos_t = jnp.abs(hit.ng.dot(wi_l))
         denom = r2_l * ls.pdf_area
         #   reference kills the whole path when r2*pdf_l < MIN_DIVISOR
         kill = nee_live & (denom < MIN_DIVISOR)
-        contrib = ls.emission * f_r_l * (w_l * cos_t * cos_p /
-                                         jnp.maximum(denom, 1e-20))
-        L = L + vwhere(nee_live & ~kill, w * contrib, _zeros3(n))
+        live = nee_live & ~kill
+        scale = jnp.where(live, w_l * cos_t * cos_p /
+                          jnp.maximum(denom, 1e-20), 0.0)
+        L = L + vwhere(live, w * ls.emission * f_r_l * scale, _zeros3(n))
         alive = alive & ~kill
 
         # ======================================================== BSDF sample
         #   regular lanes (PathTracing.hpp:222-231)
         samp = bxdf_sample(params, wo, hit.ns, u(rng.BSDF_U0), u(rng.BSDF_U1),
                            u(rng.BSDF_LOTTERY), eta_scene,
-                           opts.ggx_sample_bug)
+                           opts.ggx_sample_bug, types=types)
         samp = samp._replace(wi=sg(samp.wi))
         wi = samp.wi
-        mat_pdf = sg(bxdf_pdf(params, wi, wo, hit.ns, eta_scene, params.eta))
+        mat_pdf = sg(bxdf_pdf(params, wi, wo, hit.ns, eta_scene, params.eta,
+                              types=types))
 
         #   refractive lanes: calcForRefractive (PathTracing.hpp:80-134)
         tir = samp.tir
@@ -272,10 +281,15 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
             if opts.russian_roulette else jnp.ones((n,))
         rr_survive = u(rng.RR) <= rr_prob
 
-        base = f_r * (cos_n / jnp.maximum(mat_pdf, 1e-20))
+        # zero the inverse pdf below its kill threshold instead of letting
+        # a masked 1e20 leak NaNs into reverse-mode products
+        inv_pdf = jnp.where(mat_pdf >= MIN_DIVISOR,
+                            1.0 / jnp.maximum(mat_pdf, 1e-20), 0.0)
+        base = f_r * (cos_n * inv_pdf)
         em_ok = mat_pdf >= MIN_DIVISOR
         cont_ok = rr_survive & (mat_pdf * rr_prob >= MIN_DIVISOR)
-        coe = base * (1.0 / jnp.maximum(rr_prob, 1e-20))
+        coe = base * jnp.where(rr_prob > 0.0,
+                               1.0 / jnp.maximum(rr_prob, 1e-20), 0.0)
 
         #   refractive lanes: no NEE/RR; gate pdf >= MIN_DIVISOR, reset tp
         refr_ok = mat_pdf >= MIN_DIVISOR
@@ -321,10 +335,12 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
     emissive = params.emissive & pending & hit.hit
     light_pdf_a = light_pdf_of_hit(scene, hit.kind, hit.idx, hit.mat)
     cos_prime = hit.ns.normalized(1e-20).dot(-state['d'])
-    l_pdf_sa = light_pdf_a * core.t * core.t / jnp.maximum(cos_prime, 1e-20)
+    t_hit = jnp.where(hit.hit, core.t, 1.0)
+    l_pdf_sa = light_pdf_a * t_hit * t_hit / jnp.maximum(cos_prime, 1e-20)
     w_m = sg(mis_power_weight(state['prev_pdf'], l_pdf_sa))
     w_m = jnp.where(state['prev_mirror1'], 1.0, w_m)
     good = emissive & (cos_prime > 0.0) & state['em_ok'] & (light_pdf_a > 0)
+    w_m = jnp.where(good, w_m, 0.0)
     L = L + vwhere(good, state['w_em'] * w_m * params.emission, _zeros3(n))
     return L
 

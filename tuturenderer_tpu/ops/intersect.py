@@ -199,7 +199,10 @@ def shade_hit(scene: SceneData, orig: Vec3, d: Vec3, core: HitCore) -> HitRecord
     safe_idx = jnp.maximum(core.idx, 0)
     is_tri = core.kind == TRIANGLE
 
-    pos = orig + d * core.t
+    # clamp miss distance: F32_MAX would make pos/r^2 inf, and masked infs
+    # poison reverse-mode AD (0 * inf = NaN)
+    t_safe = jnp.where(core.hit, core.t, 1.0)
+    pos = orig + d * t_safe
     zeros = jnp.zeros_like(pos.x)
     zerov = Vec3(zeros, zeros, zeros)
 

@@ -125,6 +125,9 @@ class SceneData:
     bvh: object
     # static metadata
     has_textures: bool = dataclasses.field(metadata=dict(static=True))
+    # material types present (static): kernels instantiate only these
+    # branches instead of all six (scene-adaptive specialization)
+    mtype_set: tuple = dataclasses.field(metadata=dict(static=True))
 
     @property
     def n_tris(self) -> int:
@@ -339,6 +342,7 @@ class SceneBuilder:
             eta=jnp.float32(self.eta),
             bvh=self._maybe_bvh(verts, use_bvh),
             has_textures=any(len(v) > 0 for v in self.textures.values()),
+            mtype_set=tuple(sorted(set(int(t) for t in m['mtype']))),
         )
 
     def _maybe_bvh(self, verts: np.ndarray, use_bvh):

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Union
 
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -76,8 +77,12 @@ class Vec3(NamedTuple):
         return jnp.sqrt(self.norm2())
 
     def normalized(self, eps: float = 0.0) -> "Vec3":
-        n = self.norm()
-        inv = 1.0 / jnp.maximum(n, eps) if eps else 1.0 / n
+        if eps:
+            # clamp INSIDE the sqrt: sqrt'(0) is inf and would poison
+            # reverse-mode AD through masked-out lanes (the where-trap)
+            inv = jax.lax.rsqrt(jnp.maximum(self.norm2(), eps * eps))
+        else:
+            inv = 1.0 / self.norm()
         return self * inv
 
     def max_component(self) -> Array:
