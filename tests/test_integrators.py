@@ -1,0 +1,63 @@
+"""Cross-integrator consistency: the four estimators must agree on the
+same scene (the reference validates this only by eyeballing its README
+A/B grids, README.md:103-109).
+
+Slow (big compiles): enable with TUTU_SLOW=1.
+"""
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("TUTU_SLOW") != "1",
+    reason="integrator cross-checks are slow; set TUTU_SLOW=1")
+
+
+def _scene():
+    from tests.test_grad import diffuse_box
+    return diffuse_box(48)
+
+
+def test_pt_vs_bdpt_mean():
+    from tuturenderer_tpu.integrators.bdpt import render as rb
+    from tuturenderer_tpu.integrators.path import render as rp
+    from tuturenderer_tpu.options import RenderOptions
+
+    scene, cam = _scene()
+    # matched transport depth: PT max_depth=4 -> paths of <= 6 segments
+    # (camera + 5 surface vertices + NEE light); BDPT pathLength counts
+    # segments directly
+    pt = np.asarray(rp(scene, cam, RenderOptions(spp=32, max_depth=4), 1))
+    bd = np.asarray(rb(scene, cam,
+                       RenderOptions(spp=32, bdpt_max_path_length=6), 2))
+    assert np.isfinite(pt).all() and np.isfinite(bd).all()
+    assert abs(pt.mean() - bd.mean()) / pt.mean() < 0.06, \
+        f"pt={pt.mean():.4f} bdpt={bd.mean():.4f}"
+
+
+def test_pt_vs_naive_direct_light():
+    """With a 2-vertex walk, naive PT sees exactly the directly visible
+    emitter; PT's direct term must agree on those pixels."""
+    from tuturenderer_tpu.integrators.naive import render as rn
+    from tuturenderer_tpu.integrators.path import render as rp
+    from tuturenderer_tpu.options import RenderOptions
+
+    scene, cam = _scene()
+    nv = np.asarray(rn(scene, cam, RenderOptions(spp=4, lt_max_depth=2), 3))
+    pt = np.asarray(rp(scene, cam, RenderOptions(spp=4, max_depth=0), 3))
+    light_pixels = nv[..., 0] > 1.0
+    assert light_pixels.sum() > 10
+    np.testing.assert_allclose(nv[light_pixels], pt[light_pixels], rtol=0.05)
+
+
+def test_light_tracing_renders_scene():
+    from tuturenderer_tpu.integrators.light import render as rl
+    from tuturenderer_tpu.options import RenderOptions
+
+    scene, cam = _scene()
+    img = np.asarray(rl(scene, cam, RenderOptions(spp=16, lt_max_depth=3), 4))
+    assert np.isfinite(img).all()
+    # indirect splats light up a nontrivial part of the film
+    assert (img.sum(-1) > 0).mean() > 0.3
+    assert img.mean() > 0.01
