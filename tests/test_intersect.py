@@ -95,3 +95,39 @@ def test_barycentric_interpolation():
     expect = np.asarray([0.25, 0.25, 0.5])
     expect = expect / np.linalg.norm(expect)
     np.testing.assert_allclose(np.asarray(h.ns.stack())[0], expect, atol=1e-5)
+
+
+def test_woop_matches_moller_trumbore():
+    """The MXU (Woop-transform) dense path and the VPU Moller-Trumbore
+    path must produce the same hits."""
+    from tuturenderer_tpu.ops import intersect as I
+    r = np.random.RandomState(11)
+    b = SceneBuilder()
+    m = b.add_material()
+    centers = r.randn(300, 3) * 2.0
+    b.add_triangles((centers[:, None, :] + 0.5 * r.randn(300, 3, 3)).astype(np.float32),
+                    None, None, m)
+    s = b.build()
+    o_np = r.randn(512, 3).astype(np.float32) * 3.0
+    d_np = r.randn(512, 3).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = Vec3(*[jnp.asarray(o_np[:, i]) for i in range(3)])
+    d = Vec3(*[jnp.asarray(d_np[:, i]) for i in range(3)])
+
+    def run(impl):
+        old = I.DENSE_IMPL
+        I.DENSE_IMPL = impl
+        try:
+            return I.intersect_core(s, o, d)
+        finally:
+            I.DENSE_IMPL = old
+
+    a = run("mt")
+    w = run("woop")
+    agree = np.asarray(a.hit) == np.asarray(w.hit)
+    # knife-edge hits may differ by float rounding on a handful of rays
+    assert agree.mean() > 0.99
+    both = np.asarray(a.hit) & np.asarray(w.hit) & (np.asarray(a.idx) == np.asarray(w.idx))
+    np.testing.assert_allclose(np.asarray(a.t)[both], np.asarray(w.t)[both],
+                               rtol=1e-4)
+    assert both.sum() > 0.9 * np.asarray(a.hit).sum()

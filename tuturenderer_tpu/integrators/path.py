@@ -133,6 +133,7 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         w_cont=_zeros3(n),                  # weight if path continues
         cont_ok=jnp.zeros((n,), bool),      # RR survived + divisor gates
         em_ok=jnp.zeros((n,), bool),
+        lane=lane,                          # original lane id (RNG/film key)
     )
 
     def bounce(state, depth):
@@ -141,8 +142,12 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         w = state['w']
         L = state['L']
         from_kind = state['from_kind']
+        nn = o.x.shape[0]                   # current (possibly compacted) width
+        z3 = _zeros3(nn)
+        one = jnp.ones((nn,))
 
-        u = lambda purpose: rng.uniform(seed, lane, sample_idx, depth, purpose)
+        u = lambda purpose: rng.uniform(seed, state['lane'], sample_idx,
+                                        depth, purpose)
 
         core = intersect_core(scene, o, d)
         hit = shade_hit(scene, o, d, core)
@@ -160,14 +165,14 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         # ---------- miss: bkg for camera/refract chain, nothing for BSDF
         miss = alive & ~hit.hit
         add_bkg = miss & (from_kind != FROM_BSDF) & within_depth
-        L = L + vwhere(add_bkg, w * scene.bkgcolor, _zeros3(n))
+        L = L + vwhere(add_bkg, w * scene.bkgcolor, z3)
         alive = alive & hit.hit
 
         # ---------- emissive hit resolution
         emissive = params.emissive & alive
         #   camera ray: weight-1 emission (PathTracing.hpp:169-170)
         direct_em = emissive & (from_kind == FROM_CAMERA)
-        L = L + vwhere(direct_em, w * params.emission, _zeros3(n))
+        L = L + vwhere(direct_em, w * params.emission, z3)
         #   BSDF-sample hit: MIS weighted (PathTracing.hpp:239-260)
         bsdf_em = emissive & (from_kind == FROM_BSDF)
         light_pdf_a = light_pdf_of_hit(scene, hit.kind, hit.idx, hit.mat)
@@ -179,18 +184,18 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         w_m = jnp.where(state['prev_mirror1'], 1.0, w_m)
         good_em = bsdf_em & (cos_prime > 0.0) & state['em_ok'] & (light_pdf_a > 0)
         w_m = jnp.where(good_em, w_m, 0.0)   # keep masked infs out of products
-        L = L + vwhere(good_em, state['w_em'] * w_m * params.emission, _zeros3(n))
+        L = L + vwhere(good_em, state['w_em'] * w_m * params.emission, z3)
         #   refract-chain hit on emissive: contributes 0 (PathTracing.hpp:164-165)
         alive = alive & ~emissive
 
         # ---------- UNLIT returns diffuse (PathTracing.hpp:161)
         unlit = alive & (params.mtype == UNLIT) & within_depth
         L = L + vwhere(unlit & (from_kind != FROM_BSDF), w * params.diffuse,
-                       _zeros3(n))
+                       z3)
         # a BSDF-sampled UNLIT hit falls into the indirect branch; its
         # continuation returns diffuse next round, carried through w_cont
         L = L + vwhere(unlit & (from_kind == FROM_BSDF) & state['cont_ok'],
-                       state['w_cont'] * params.diffuse, _zeros3(n))
+                       state['w_cont'] * params.diffuse, z3)
         alive = alive & ~unlit & within_depth
 
         # ---------- indirect continuation bookkeeping for FROM_BSDF lanes
@@ -235,7 +240,7 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         live = nee_live & ~kill
         scale = jnp.where(live, w_l * cos_t * cos_p /
                           jnp.maximum(denom, 1e-20), 0.0)
-        L = L + vwhere(live, w * ls.emission * f_r_l * scale, _zeros3(n))
+        L = L + vwhere(live, w * ls.emission * f_r_l * scale, z3)
         alive = alive & ~kill
 
         # ======================================================== BSDF sample
@@ -276,9 +281,9 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
 
         #   RR draw happens at this vertex (PathTracing.hpp:263-268)
         tp_eff = vwhere(depth > opts.min_depth, tp, Vec3(
-            jnp.ones((n,)), jnp.ones((n,)), jnp.ones((n,))))
+            one, one, one))
         rr_prob = sg(jnp.clip(tp_eff.max_component(), 0.0, 1.0)) \
-            if opts.russian_roulette else jnp.ones((n,))
+            if opts.russian_roulette else one
         rr_survive = u(rng.RR) <= rr_prob
 
         # zero the inverse pdf below its kill threshold instead of letting
@@ -298,8 +303,8 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         w_em = w * base
         w_cont = w * coe
         w_next = vwhere(refr, w * base, w)
-        tp_next = vwhere(refr, Vec3(jnp.ones((n,)), jnp.ones((n,)),
-                                    jnp.ones((n,))), tp_eff * coe)
+        tp_next = vwhere(refr, Vec3(one, one,
+                                    one), tp_eff * coe)
 
         alive_next = alive & jnp.where(refr, refr_ok, True)
         # non-refractive lanes stay "alive" into the next bounce even if
@@ -317,32 +322,88 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
             prev_mirror1=(params.mtype == PERFECT_REFLECTIVE) & (mat_pdf == 1.0),
             w_em=w_em, w_cont=w_cont,
             cont_ok=cont_ok & alive, em_ok=em_ok & alive,
+            lane=state['lane'],
         )
         return new_state, None
 
-    # vertices at depth 0..max_depth; the final BSDF-sample emissive hit at
-    # recursion depth max_depth+1 (where the reference's traceRay returns 0
-    # for everything else, PathTracing.hpp:140) is resolved by a cheap
-    # epilogue: one intersection, no NEE/sampling
-    depths = jnp.arange(opts.max_depth + 1, dtype=jnp.int32)
-    state, _ = jax.lax.scan(bounce, state, depths)
+    def epilogue(state):
+        """Resolve the final pending BSDF-sample emissive hit (recursion
+        depth max_depth+1, where the reference's traceRay returns 0 for
+        everything else, PathTracing.hpp:140): one intersection, no
+        NEE/sampling."""
+        nn = state['o'].x.shape[0]
+        L = state['L']
+        pending = state['alive'] & (state['from_kind'] == FROM_BSDF)
+        core = intersect_core(scene, state['o'], state['d'])
+        hit = shade_hit(scene, state['o'], state['d'], core)
+        params = gather_material(scene, hit.mat)
+        emissive = params.emissive & pending & hit.hit
+        light_pdf_a = light_pdf_of_hit(scene, hit.kind, hit.idx, hit.mat)
+        cos_prime = hit.ns.normalized(1e-20).dot(-state['d'])
+        t_hit = jnp.where(hit.hit, core.t, 1.0)
+        l_pdf_sa = light_pdf_a * t_hit * t_hit / jnp.maximum(cos_prime, 1e-20)
+        w_m = sg(mis_power_weight(state['prev_pdf'], l_pdf_sa))
+        w_m = jnp.where(state['prev_mirror1'], 1.0, w_m)
+        good = emissive & (cos_prime > 0.0) & state['em_ok'] & (light_pdf_a > 0)
+        w_m = jnp.where(good, w_m, 0.0)
+        return L + vwhere(good, state['w_em'] * w_m * params.emission,
+                          _zeros3(nn))
 
-    L = state['L']
-    pending = state['alive'] & (state['from_kind'] == FROM_BSDF)
-    core = intersect_core(scene, state['o'], state['d'])
-    hit = shade_hit(scene, state['o'], state['d'], core)
-    params = gather_material(scene, hit.mat)
-    emissive = params.emissive & pending & hit.hit
-    light_pdf_a = light_pdf_of_hit(scene, hit.kind, hit.idx, hit.mat)
-    cos_prime = hit.ns.normalized(1e-20).dot(-state['d'])
-    t_hit = jnp.where(hit.hit, core.t, 1.0)
-    l_pdf_sa = light_pdf_a * t_hit * t_hit / jnp.maximum(cos_prime, 1e-20)
-    w_m = sg(mis_power_weight(state['prev_pdf'], l_pdf_sa))
-    w_m = jnp.where(state['prev_mirror1'], 1.0, w_m)
-    good = emissive & (cos_prime > 0.0) & state['em_ok'] & (light_pdf_a > 0)
-    w_m = jnp.where(good, w_m, 0.0)
-    L = L + vwhere(good, state['w_em'] * w_m * params.emission, _zeros3(n))
-    return L
+    sched = opts.compaction
+    if not sched:
+        depths = jnp.arange(opts.max_depth + 1, dtype=jnp.int32)
+        state, _ = jax.lax.scan(bounce, state, depths)
+        return epilogue(state)
+
+    # ---- compacted execution: unrolled bounce loop with a static shrink
+    # schedule. Live lanes are gathered to the front of a smaller buffer
+    # (the wavefront-compaction step that replaces RR lane waste); per-lane
+    # radiance is flushed into a full-size film keyed by original lane id
+    # before each shrink.
+    film = (jnp.zeros((n,)), jnp.zeros((n,)), jnp.zeros((n,)))
+
+    def flush(film, state):
+        ids = state['lane']
+        return ((film[0].at[ids].add(state['L'].x, mode='drop'),
+                 film[1].at[ids].add(state['L'].y, mode='drop'),
+                 film[2].at[ids].add(state['L'].z, mode='drop')))
+
+    def compact(state, k):
+        alive = state['alive']
+        cnt = jnp.sum(alive.astype(jnp.int32))
+        pos = jnp.nonzero(alive, size=k, fill_value=0)[0]
+        valid = jnp.arange(k) < cnt
+        new = jax.tree.map(lambda a: a[pos], state)
+        new['alive'] = new['alive'] & valid
+        new['L'] = _zeros3(k)
+        return new
+
+    # group consecutive equal fractions into segments so each segment is a
+    # single lax.scan over a shared bounce body at one width — the unrolled
+    # per-bounce variant produced a 7x larger module that the compiler
+    # struggles with at 1M lanes
+    segments = []   # (width_fraction, [depths])
+    for depth in range(opts.max_depth + 1):
+        frac = sched[depth] if depth < len(sched) else sched[-1]
+        if segments and segments[-1][0] == frac:
+            segments[-1][1].append(depth)
+        else:
+            segments.append((frac, [depth]))
+
+    cur = state
+    for frac, depths in segments:
+        k = min(int(-(-int(n * frac) // 1024) * 1024), n)
+        if k < cur['o'].x.shape[0]:
+            film = flush(film, cur)
+            cur = compact(cur, k)
+        cur, _ = jax.lax.scan(bounce, cur,
+                              jnp.asarray(depths, dtype=jnp.int32))
+    L_final = epilogue(cur)
+    ids = cur['lane']
+    film = (film[0].at[ids].add(L_final.x, mode='drop'),
+            film[1].at[ids].add(L_final.y, mode='drop'),
+            film[2].at[ids].add(L_final.z, mode='drop'))
+    return Vec3(film[0], film[1], film[2])
 
 
 def render_sample(scene: SceneData, cam: Camera, px, py, lane, sample_idx,

@@ -31,6 +31,11 @@ PARALLEL_EPS = 1e-4  # FLOAT_EQUAL threshold, global.hpp:134-136
 # triangles per inner chunk; keeps the [N, C] virtual tile register-friendly
 CHUNK = 512
 
+# dense triangle test implementation: "woop" routes the per-pair work
+# through MXU matmuls (precomputed inverse-basis rows); "mt" is the pure
+# VPU Moller-Trumbore chain
+DENSE_IMPL = "woop"
+
 
 class HitCore(NamedTuple):
     """Minimal nearest-hit record produced by the traversal reduction."""
@@ -124,6 +129,47 @@ def _tri_chunk_best(scene: SceneData, orig: Vec3, d: Vec3, lo: int, size: int,
     )
 
 
+def _tri_chunk_best_woop(scene: SceneData, orig: Vec3, d: Vec3, lo: int,
+                         size: int, best: HitCore) -> HitCore:
+    """MXU path: per-triangle inverse-basis rows turn the ray-triangle
+    test into two [N,3] x [3,3C] matmuls plus a short VPU epilogue.
+    Produces the same accept set as the Moller-Trumbore chunk (strict
+    t/u/v positivity, |dir.n_hat| >= 1e-4) up to float rounding."""
+    w = jax.lax.dynamic_slice_in_dim(scene.woop_w, 3 * lo, 3 * size, axis=1)
+    c = jax.lax.dynamic_slice_in_dim(scene.woop_c, 3 * lo, 3 * size, axis=0)
+    nlen = jax.lax.dynamic_slice_in_dim(scene.woop_nlen, lo, size, axis=0)
+
+    o_mat = jnp.stack([orig.x, orig.y, orig.z], axis=1)      # [N,3]
+    d_mat = jnp.stack([d.x, d.y, d.z], axis=1)
+    od = jnp.dot(o_mat, w, preferred_element_type=jnp.float32) - c[None, :]
+    dd = jnp.dot(d_mat, w, preferred_element_type=jnp.float32)
+    od = od.reshape(-1, size, 3)
+    dd = dd.reshape(-1, size, 3)
+
+    w_o = od[:, :, 2]
+    w_d = dd[:, :, 2]
+    inv_wd = 1.0 / jnp.where(w_d == 0.0, 1.0, w_d)
+    t = -w_o * inv_wd
+    u = od[:, :, 0] + t * dd[:, :, 0]
+    v = od[:, :, 1] + t * dd[:, :, 1]
+    dn = w_d * nlen[None, :]          # dir . n_hat
+    ok = (jnp.abs(dn) >= PARALLEL_EPS) & (w_d != 0.0) & \
+        (t > 0.0) & (u > 0.0) & (v > 0.0) & (1.0 - u - v > 0.0)
+    t = jnp.where(ok, t, F32_MAX)
+
+    j = jnp.argmin(t, axis=1)
+    rows = jnp.arange(t.shape[0])
+    t_min = t[rows, j]
+    better = t_min < best.t
+    return HitCore(
+        t=jnp.where(better, t_min, best.t),
+        kind=jnp.where(better, TRIANGLE, best.kind),
+        idx=jnp.where(better, (lo + j).astype(jnp.int32), best.idx),
+        bu=jnp.where(better, u[rows, j], best.bu),
+        bv=jnp.where(better, v[rows, j], best.bv),
+    )
+
+
 def _sphere_best(scene: SceneData, orig: Vec3, d: Vec3, best: HitCore) -> HitCore:
     s = scene.n_spheres
     if s == 0:
@@ -174,10 +220,12 @@ def intersect_core(scene: SceneData, orig: Vec3, d: Vec3) -> HitCore:
             bu=jnp.zeros((n,)), bv=jnp.zeros((n,)),
         )
         t_count = scene.n_tris
+        chunk_fn = _tri_chunk_best_woop if DENSE_IMPL == "woop" \
+            else _tri_chunk_best
         lo = 0
         while lo < t_count:
             size = min(CHUNK, t_count - lo)
-            best = _tri_chunk_best(scene, orig, d, lo, size, best)
+            best = chunk_fn(scene, orig, d, lo, size, best)
             lo += size
     best = _sphere_best(scene, orig, d, best)
     # set idx=-1 lanes consistent

@@ -32,6 +32,12 @@ class RenderOptions:
     ggx_sample_bug: bool = False
     # batching: rays processed per device dispatch (0 = whole frame)
     rays_per_pass: int = 0
+    # wavefront compaction: per-bounce live-lane fraction schedule (static).
+    # Empty = off. Each entry is the buffer size for that bounce as a
+    # fraction of the wavefront; live lanes are gathered to the front.
+    # Size with margin above the scene's measured alive fractions: if the
+    # live count ever exceeds the buffer, excess paths are dropped.
+    compaction: tuple = ()
     # detach sampling decisions (directions, pdfs, RR, MIS weights) so the
     # estimator is differentiable w.r.t. material parameters with correct
     # detached-sampling gradients

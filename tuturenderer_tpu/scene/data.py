@@ -123,6 +123,12 @@ class SceneData:
     eta: jnp.ndarray         # scene index of refraction (scalar)
     # acceleration structure (None = dense streaming intersection)
     bvh: object
+    # MXU-friendly triangle transform (Woop-style): rows of the inverse
+    # [e1 e2 n] basis per triangle, laid out for [N,3] x [3,3T] matmuls.
+    # woop_w [3, 3T]; woop_c [3T] (row . v0 offsets); woop_nlen [T] (|n|)
+    woop_w: jnp.ndarray
+    woop_c: jnp.ndarray
+    woop_nlen: jnp.ndarray
     # static metadata
     has_textures: bool = dataclasses.field(metadata=dict(static=True))
     # material types present (static): kernels instantiate only these
@@ -341,9 +347,40 @@ class SceneBuilder:
                           jnp.float32(self.bkgcolor[2])),
             eta=jnp.float32(self.eta),
             bvh=self._maybe_bvh(verts, use_bvh),
+            **self._woop_arrays(verts),
             has_textures=any(len(v) > 0 for v in self.textures.values()),
             mtype_set=tuple(sorted(set(int(t) for t in m['mtype']))),
         )
+
+    def _woop_arrays(self, verts: np.ndarray):
+        """Per-triangle inverse-basis rows for the matmul intersection
+        path. For triangle (v0, e1, e2) with n = e1 x e2, the inverse of
+        the column basis [e1 e2 n] has rows r1, r2, r3 = n/|n|^2; a point
+        p maps to barycentric (u, v, w) = rows . (p - v0)."""
+        t = verts.shape[0]
+        if t == 0:
+            return dict(woop_w=jnp.zeros((3, 0), jnp.float32),
+                        woop_c=jnp.zeros((0,), jnp.float32),
+                        woop_nlen=jnp.zeros((0,), jnp.float32))
+        v0 = verts[:, 0].astype(np.float64)
+        e1 = verts[:, 1].astype(np.float64) - v0
+        e2 = verts[:, 2].astype(np.float64) - v0
+        n = np.cross(e1, e2)
+        basis = np.stack([e1, e2, n], axis=2)        # [T,3,3] columns
+        det = np.linalg.det(basis)
+        ok = np.abs(det) > 1e-30
+        safe = basis.copy()
+        safe[~ok] = np.eye(3)
+        rows = np.linalg.inv(safe)                   # [T,3,3] rows r1,r2,r3
+        rows[~ok] = 0.0
+        c = np.einsum('tij,tj->ti', rows, v0)        # [T,3]: c[i,j] = row_j.v0
+        # layout: w[k, 3*i + j] = rows[i, j, k] so that
+        # (O @ w)[n, 3*i + j] = o_n . row_j of triangle i
+        w = rows.transpose(2, 0, 1).reshape(3, 3 * t)
+        return dict(
+            woop_w=jnp.asarray(w.astype(np.float32)),
+            woop_c=jnp.asarray(c.reshape(-1).astype(np.float32)),
+            woop_nlen=jnp.asarray(np.linalg.norm(n, axis=1).astype(np.float32)))
 
     def _maybe_bvh(self, verts: np.ndarray, use_bvh):
         from ..ops.bvh import BVH_THRESHOLD, build_bvh
