@@ -19,8 +19,10 @@ import numpy as np
 # run, see golden/microbench.py methodology): the honest per-path ray count
 CORNELL_ALIVE = (1.0, 0.854, 0.608, 0.489, 0.399, 0.337, 0.186)
 CORNELL_EPILOGUE = 0.098
-# compaction buffer schedule: measured fractions + ~25% safety margin
-CORNELL_COMPACTION = (1.0, 1.0, 0.76, 0.76, 0.5, 0.5, 0.23)
+# compaction measured SLOWER on this chip (1M-lane gather/nonzero cost
+# exceeds the dead-lane savings): disabled for the benchmark; the
+# feature remains available via RenderOptions.compaction
+CORNELL_COMPACTION = ()
 
 
 def count_rays(width, height, spp, max_depth):
@@ -40,7 +42,7 @@ def main():
     width = height = 1024
     spp = 64
     scene, cam = cornell_box(width=width, height=height)
-    opts = RenderOptions(spp=spp, compaction=CORNELL_COMPACTION)
+    opts = RenderOptions(spp=spp)
 
     # compile
     img = jax.block_until_ready(render(scene, cam, opts, 0))

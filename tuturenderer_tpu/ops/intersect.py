@@ -31,10 +31,21 @@ PARALLEL_EPS = 1e-4  # FLOAT_EQUAL threshold, global.hpp:134-136
 # triangles per inner chunk; keeps the [N, C] virtual tile register-friendly
 CHUNK = 512
 
-# dense triangle test implementation: "woop" routes the per-pair work
-# through MXU matmuls (precomputed inverse-basis rows); "mt" is the pure
-# VPU Moller-Trumbore chain
-DENSE_IMPL = "woop"
+# dense triangle test implementation, measured on TPU v5e at 1M rays
+# (on-device, Cornell's 32 triangles):
+#   pallas  5.5 ms/traversal (190 M rays/s) — ray-shaped tiles, scalar tris
+#   mt     21.3 ms (49 M rays/s)            — XLA [N,T] tiles, minor dim 32
+#   woop   slower than mt (K=3 matmuls + [N,3T] materialization)
+# "auto" = pallas on TPU, mt elsewhere (interpret-mode pallas is too slow
+# for the CPU test suite).
+DENSE_IMPL = "auto"
+
+
+def _dense_impl():
+    if DENSE_IMPL != "auto":
+        return DENSE_IMPL
+    import jax
+    return "pallas" if jax.default_backend() == "tpu" else "mt"
 
 
 class HitCore(NamedTuple):
@@ -211,6 +222,10 @@ def intersect_core(scene: SceneData, orig: Vec3, d: Vec3) -> HitCore:
     if scene.bvh is not None:
         from .bvh import bvh_intersect
         best = bvh_intersect(scene, scene.bvh, orig, d)
+    elif _dense_impl() == "pallas" and scene.n_tris:
+        from .pallas.intersect import pallas_tri_intersect
+        t, idx, bu, bv = pallas_tri_intersect(scene, orig, d)
+        best = HitCore(t=t, kind=jnp.zeros_like(idx), idx=idx, bu=bu, bv=bv)
     else:
         n = orig.x.shape[0]
         best = HitCore(
@@ -220,7 +235,7 @@ def intersect_core(scene: SceneData, orig: Vec3, d: Vec3) -> HitCore:
             bu=jnp.zeros((n,)), bv=jnp.zeros((n,)),
         )
         t_count = scene.n_tris
-        chunk_fn = _tri_chunk_best_woop if DENSE_IMPL == "woop" \
+        chunk_fn = _tri_chunk_best_woop if _dense_impl() == "woop" \
             else _tri_chunk_best
         lo = 0
         while lo < t_count:

@@ -1,0 +1,162 @@
+"""Pallas TPU kernel for dense ray/triangle intersection.
+
+Why: the XLA version materializes [N, T] tiles whose minor dimension
+(T=32 for Cornell) occupies only a quarter of the 128-lane registers —
+measured 22 M rays/s per traversal at 1M rays. This kernel keeps ALL
+arithmetic on ray-shaped (ROWS, 128) tiles and walks triangles as scalars
+(broadcast from the packed triangle table), so every VPU lane does useful
+work and the whole Moller-Trumbore chain for a triangle lives in
+registers. Same acceptance rules as ops/intersect.py (strict t/u/v
+positivity, |dir.n_hat| >= 1e-4, det != 0).
+
+Triangle table layout (packed [T, 12]): v0(3), e1(3), e2(3), n_hat(3).
+The table sits in VMEM and is shared by every grid program; the triangle
+loop is Python-unrolled for small T and a fori_loop for larger scenes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32_MAX = 3.4e38  # python float: jnp constants get captured as kernel consts
+PARALLEL_EPS = 1e-4
+LANES = 128
+ROWS = 128               # 128 x 128 = 16384 rays per grid program (VMEM stack limit)
+UNROLL_MAX = 64          # python-unroll the triangle loop up to this T
+
+
+def _tri_scalars(tri_ref, i):
+    return [tri_ref[i, j] for j in range(12)]
+
+
+def _kernel(tri_ref, ox, oy, oz, dx, dy, dz, t_out, idx_out, bu_out, bv_out,
+            *, n_tris: int):
+    shape = ox.shape
+    t_best = jnp.full(shape, F32_MAX)
+    idx_best = jnp.full(shape, -1, jnp.int32)
+    bu_best = jnp.zeros(shape)
+    bv_best = jnp.zeros(shape)
+
+    rox = ox[...]
+    roy = oy[...]
+    roz = oz[...]
+    rdx = dx[...]
+    rdy = dy[...]
+    rdz = dz[...]
+
+    def test_one(i, carry):
+        t_best, idx_best, bu_best, bv_best = carry
+        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
+         nux, nuy, nuz) = _tri_scalars(tri_ref, i)
+        sx = rox - v0x
+        sy = roy - v0y
+        sz = roz - v0z
+        # s1 = d x e2 ; s2 = s x e1  (Triangle.hpp:25-47 semantics)
+        s1x = rdy * e2z - rdz * e2y
+        s1y = rdz * e2x - rdx * e2z
+        s1z = rdx * e2y - rdy * e2x
+        s2x = sy * e1z - sz * e1y
+        s2y = sz * e1x - sx * e1z
+        s2z = sx * e1y - sy * e1x
+        det = s1x * e1x + s1y * e1y + s1z * e1z
+        dn = rdx * nux + rdy * nuy + rdz * nuz
+        # plain reciprocal: det==0 yields inf/NaN which the acceptance
+        # comparisons reject, matching the guarded-div semantics
+        inv = 1.0 / det
+        t = (s2x * e2x + s2y * e2y + s2z * e2z) * inv
+        u = (s1x * sx + s1y * sy + s1z * sz) * inv
+        v = (s2x * rdx + s2y * rdy + s2z * rdz) * inv
+        ok = (jnp.abs(dn) >= PARALLEL_EPS) & (det != 0.0) & \
+            (t > 0.0) & (u > 0.0) & (v > 0.0) & (1.0 - u - v > 0.0) & \
+            (t < t_best)
+        t_best = jnp.where(ok, t, t_best)
+        idx_best = jnp.where(ok, i, idx_best)
+        bu_best = jnp.where(ok, u, bu_best)
+        bv_best = jnp.where(ok, v, bv_best)
+        return t_best, idx_best, bu_best, bv_best
+
+    carry = (t_best, idx_best, bu_best, bv_best)
+    if n_tris <= UNROLL_MAX:
+        for i in range(n_tris):
+            carry = test_one(i, carry)
+    else:
+        carry = jax.lax.fori_loop(0, n_tris, test_one, carry)
+    t_best, idx_best, bu_best, bv_best = carry
+    t_out[...] = t_best
+    idx_out[...] = idx_best
+    bu_out[...] = bu_best
+    bv_out[...] = bv_best
+
+
+@functools.partial(jax.jit, static_argnames=("n_tris", "interpret"))
+def _run(tri_packed, ox, oy, oz, dx, dy, dz, n_tris: int,
+         interpret: bool = False):
+    n = ox.shape[0]
+    rows_total = n // LANES
+    grid = rows_total // ROWS
+
+    def ray_spec():
+        return pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    tri_spec = pl.BlockSpec(tri_packed.shape, lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+    rs = lambda a: a.reshape(rows_total, LANES)
+    out_shape = [
+        jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows_total, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+    ]
+    kernel = functools.partial(_kernel, n_tris=n_tris)
+    t, idx, bu, bv = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[tri_spec] + [ray_spec() for _ in range(6)],
+        out_specs=[ray_spec() for _ in range(4)],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(tri_packed, rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz))
+    flat = lambda a: a.reshape(-1)
+    return flat(t), flat(idx), flat(bu), flat(bv)
+
+
+def pack_triangles(scene):
+    """[T, 12] packed triangle table from the SoA scene arrays."""
+    e1 = scene.tv1 - scene.tv0
+    e2 = scene.tv2 - scene.tv0
+    n = e1.cross(e2)
+    nu = n * (1.0 / jnp.maximum(n.norm(), 1e-30))
+    return jnp.stack([
+        scene.tv0.x, scene.tv0.y, scene.tv0.z,
+        e1.x, e1.y, e1.z,
+        e2.x, e2.y, e2.z,
+        nu.x, nu.y, nu.z,
+    ], axis=1)
+
+
+def pallas_tri_intersect(scene, orig, d, interpret: bool = False):
+    """Nearest triangle hit via the Pallas kernel.
+
+    Returns (t, idx, bu, bv) flat [N] arrays (t = F32_MAX, idx = -1 on
+    miss). Rays are padded to a multiple of the program block internally.
+    """
+    n = orig.x.shape[0]
+    block = ROWS * LANES
+    n_pad = -(-n // block) * block
+    pad = n_pad - n
+
+    def p(a):
+        return jnp.pad(a, (0, pad)) if pad else a
+
+    tri = pack_triangles(scene)
+    t, idx, bu, bv = _run(tri, p(orig.x), p(orig.y), p(orig.z),
+                          p(d.x), p(d.y), p(d.z), scene.n_tris,
+                          interpret=interpret)
+    if pad:
+        t, idx, bu, bv = t[:n], idx[:n], bu[:n], bv[:n]
+    return t, idx, bu, bv
