@@ -30,7 +30,11 @@ UNROLL_MAX = 64          # python-unroll the triangle loop up to this T
 
 
 def _tri_scalars(tri_ref, i):
-    return [tri_ref[i, j] for j in range(12)]
+    # flat [T*12] layout: SMEM pads 2-D rows to 512B, so a (T,12) table
+    # would cost 512B/triangle and overflow the 1MB SMEM budget for
+    # larger scenes; the flat vector stays at 48B/triangle
+    base = i * 12
+    return [tri_ref[base + j] for j in range(12)]
 
 
 def _kernel(tri_ref, ox, oy, oz, dx, dy, dz, t_out, idx_out, bu_out, bv_out,
@@ -103,7 +107,7 @@ def _run(tri_packed, ox, oy, oz, dx, dy, dz, n_tris: int,
         return pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    tri_spec = pl.BlockSpec(tri_packed.shape, lambda i: (0, 0),
+    tri_spec = pl.BlockSpec(tri_packed.shape, lambda i: (0,),
                             memory_space=pltpu.SMEM)
     rs = lambda a: a.reshape(rows_total, LANES)
     out_shape = [
@@ -136,7 +140,7 @@ def pack_triangles(scene):
         e1.x, e1.y, e1.z,
         e2.x, e2.y, e2.z,
         nu.x, nu.y, nu.z,
-    ], axis=1)
+    ], axis=1).reshape(-1)
 
 
 def pallas_tri_intersect(scene, orig, d, interpret: bool = False):
