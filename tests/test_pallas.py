@@ -1,0 +1,82 @@
+"""Interpret-mode parity tests for the Pallas TPU intersection kernels
+(ops/pallas/intersect.py) against the XLA dense reference path."""
+import jax.numpy as jnp
+import numpy as np
+
+from tuturenderer_tpu.ops import intersect as I
+from tuturenderer_tpu.ops.pallas.intersect import (pallas_tri_intersect,
+                                                   pallas_tri_occluded)
+from tuturenderer_tpu.scene.data import SceneBuilder
+from tuturenderer_tpu.utils.vec import Vec3
+
+
+def random_scene_and_rays(n_tris=48, n_rays=256, seed=3):
+    r = np.random.RandomState(seed)
+    b = SceneBuilder()
+    m = b.add_material()
+    centers = r.randn(n_tris, 3) * 2.0
+    b.add_triangles(
+        (centers[:, None, :] + 0.6 * r.randn(n_tris, 3, 3)).astype(np.float32),
+        None, None, m)
+    s = b.build()
+    o_np = (r.randn(n_rays, 3) * 3.0).astype(np.float32)
+    d_np = r.randn(n_rays, 3).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = Vec3(*[jnp.asarray(o_np[:, i]) for i in range(3)])
+    d = Vec3(*[jnp.asarray(d_np[:, i]) for i in range(3)])
+    return s, o, d
+
+
+def xla_core(s, o, d):
+    old = I.DENSE_IMPL
+    I.DENSE_IMPL = "mt"
+    try:
+        return I.intersect_core(s, o, d)
+    finally:
+        I.DENSE_IMPL = old
+
+
+def test_pallas_nearest_matches_xla():
+    s, o, d = random_scene_and_rays()
+    ref = xla_core(s, o, d)
+    t, idx, bu, bv = pallas_tri_intersect(s, o, d, interpret=True)
+    hit_p = np.asarray(idx) >= 0
+    hit_r = np.asarray(ref.hit)
+    agree = hit_p == hit_r
+    assert agree.mean() > 0.99          # knife-edge float divergence only
+    both = hit_p & hit_r & (np.asarray(idx) == np.asarray(ref.idx))
+    assert both.sum() > 0.95 * hit_r.sum()
+    np.testing.assert_allclose(np.asarray(t)[both], np.asarray(ref.t)[both],
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(bu)[both], np.asarray(ref.bu)[both],
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(bv)[both], np.asarray(ref.bv)[both],
+                               atol=1e-4)
+
+
+def test_pallas_anyhit_matches_xla_occlusion():
+    s, o, d = random_scene_and_rays(seed=7)
+    ref = xla_core(s, o, d)
+    for scale in (0.5, 1.0, 2.0):
+        t_ref = np.asarray(jnp.where(ref.hit, ref.t, 1.0))
+        dist = jnp.asarray(t_ref * scale + 0.3)
+        want = np.asarray(ref.hit) & (np.asarray(ref.t) < np.asarray(dist)) & \
+            (np.abs(np.asarray(ref.t) - np.asarray(dist)) >= I.PARALLEL_EPS)
+        got = np.asarray(pallas_tri_occluded(s, o, d, dist, interpret=True))
+        assert (got == want).mean() > 0.99
+
+
+def test_pallas_anyhit_endpoint_guard():
+    """dist exactly at the hit distance -> not occluded (BVH.hpp:184)."""
+    b = SceneBuilder()
+    m = b.add_material()
+    b.add_triangles(
+        np.asarray([[[-1, -1, 1], [1, -1, 1], [0, 1, 1]]], np.float32),
+        None, None, m)
+    s = b.build()
+    o = Vec3(jnp.zeros((4,)), jnp.zeros((4,)), jnp.zeros((4,)))
+    d = Vec3(jnp.zeros((4,)), jnp.zeros((4,)), jnp.ones((4,)))
+    # within-eps endpoint (1.0, 1.0+5e-5) -> unoccluded; beyond eps -> occluded
+    dist = jnp.asarray([2.0, 1.0, 0.5, 1.0 + 5e-5])
+    got = np.asarray(pallas_tri_occluded(s, o, d, dist, interpret=True))
+    assert got.tolist() == [True, False, False, False]

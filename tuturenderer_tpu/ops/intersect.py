@@ -248,9 +248,31 @@ def intersect_core(scene: SceneData, orig: Vec3, d: Vec3) -> HitCore:
     return best._replace(idx=jnp.where(miss, -1, best.idx))
 
 
+def _sphere_occluded(scene: SceneData, orig: Vec3, d: Vec3, dist) -> jnp.ndarray:
+    """Any sphere hit with t < dist (+ FLOAT_EQUAL endpoint guard)."""
+    best = _sphere_best(scene, orig, d, HitCore(
+        t=jnp.full((orig.x.shape[0],), F32_MAX),
+        kind=jnp.zeros((orig.x.shape[0],), jnp.int32),
+        idx=jnp.full((orig.x.shape[0],), -1, jnp.int32),
+        bu=jnp.zeros((orig.x.shape[0],)), bv=jnp.zeros((orig.x.shape[0],))))
+    return best.hit & (best.t < dist) & (jnp.abs(best.t - dist) >= PARALLEL_EPS)
+
+
 def occluded(scene: SceneData, orig: Vec3, d: Vec3, dist) -> jnp.ndarray:
     """Any-hit within ``dist`` (shadow ray). Mirrors hasIntersection
-    (BVH.hpp:170-194) incl. the FLOAT_EQUAL guard at the endpoint."""
+    (BVH.hpp:170-194) incl. the FLOAT_EQUAL guard at the endpoint.
+
+    Dense TPU scenes take the dedicated Pallas any-hit kernel (a single
+    boolean reduction, no nearest-hit bookkeeping); spheres and
+    BVH/fallback paths reuse the nearest-hit traversal. (Equivalent
+    results either way: if the nearest hit fails the endpoint guard, no
+    farther hit can pass it, since passing requires t <= dist - eps.)"""
+    if scene.bvh is None and _dense_impl() == "pallas" and scene.n_tris:
+        from .pallas.intersect import pallas_tri_occluded
+        blocked = pallas_tri_occluded(scene, orig, d, dist)
+        if scene.n_spheres:
+            blocked = blocked | _sphere_occluded(scene, orig, d, dist)
+        return blocked
     core = intersect_core(scene, orig, d)
     return core.hit & (core.t < dist) & (jnp.abs(core.t - dist) >= PARALLEL_EPS)
 
