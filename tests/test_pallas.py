@@ -80,3 +80,71 @@ def test_pallas_anyhit_endpoint_guard():
     dist = jnp.asarray([2.0, 1.0, 0.5, 1.0 + 5e-5])
     got = np.asarray(pallas_tri_occluded(s, o, d, dist, interpret=True))
     assert got.tolist() == [True, False, False, False]
+
+
+def test_cluster_kernels_match_xla():
+    """Streaming cluster-culling kernels (large-scene path) vs XLA dense."""
+    from tuturenderer_tpu.ops.pallas.cluster import (cluster_intersect,
+                                                     cluster_occluded)
+    r = np.random.RandomState(5)
+    b = SceneBuilder()
+    m = b.add_material()
+    centers = r.randn(400, 3) * 3.0
+    b.add_triangles(
+        (centers[:, None, :] + 0.5 * r.randn(400, 3, 3)).astype(np.float32),
+        None, None, m)
+    s = b.build(use_bvh=True)          # forces clusters + BVH build
+    assert s.clusters is not None and s.clusters.n_clusters > 1
+
+    n = 128
+    o_np = (r.randn(n, 3) * 4.0).astype(np.float32)
+    d_np = r.randn(n, 3).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = Vec3(*[jnp.asarray(o_np[:, i]) for i in range(3)])
+    d = Vec3(*[jnp.asarray(d_np[:, i]) for i in range(3)])
+
+    ref = xla_core(s, o, d)
+    t, idx, bu, bv = cluster_intersect(s.clusters, o, d, rows=8,
+                                       interpret=True)
+    hit_p = np.asarray(idx) >= 0
+    hit_r = np.asarray(ref.hit)
+    assert (hit_p == hit_r).mean() > 0.99
+    both = hit_p & hit_r & (np.asarray(idx) == np.asarray(ref.idx))
+    assert both.sum() > 0.95 * hit_r.sum()
+    np.testing.assert_allclose(np.asarray(t)[both], np.asarray(ref.t)[both],
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(bu)[both], np.asarray(ref.bu)[both],
+                               atol=1e-4)
+
+    t_ref = np.asarray(jnp.where(ref.hit, ref.t, 1.0))
+    dist = jnp.asarray(t_ref + 0.5)
+    want = np.asarray(ref.hit) & (np.asarray(ref.t) < np.asarray(dist)) & \
+        (np.abs(np.asarray(ref.t) - np.asarray(dist)) >= I.PARALLEL_EPS)
+    got = np.asarray(cluster_occluded(s.clusters, o, d, dist, rows=8,
+                                      interpret=True))
+    assert (got == want).mean() > 0.99
+
+
+def test_cluster_sorted_matches_unsorted():
+    """Octant-Morton ray sorting must not change results."""
+    from tuturenderer_tpu.ops.pallas.cluster import cluster_intersect
+    r = np.random.RandomState(9)
+    b = SceneBuilder()
+    m = b.add_material()
+    centers = r.randn(300, 3) * 3.0
+    b.add_triangles(
+        (centers[:, None, :] + 0.5 * r.randn(300, 3, 3)).astype(np.float32),
+        None, None, m)
+    s = b.build(use_bvh=True)
+    n = 128
+    o_np = (r.randn(n, 3) * 4.0).astype(np.float32)
+    d_np = r.randn(n, 3).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = Vec3(*[jnp.asarray(o_np[:, i]) for i in range(3)])
+    d = Vec3(*[jnp.asarray(d_np[:, i]) for i in range(3)])
+    t0, i0, u0, v0 = cluster_intersect(s.clusters, o, d, rows=8,
+                                       interpret=True)
+    t1, i1, u1, v1 = cluster_intersect(s.clusters, o, d, rows=8, sort=True,
+                                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1))

@@ -219,7 +219,12 @@ def intersect_core(scene: SceneData, orig: Vec3, d: Vec3) -> HitCore:
     BVH when the scene carries one (large meshes); dense streaming
     otherwise — the strategy selection mirroring the reference's EXPEDITE
     switch (Renderer.hpp:38-39), decided per scene at build time."""
-    if scene.bvh is not None:
+    if scene.clusters is not None and _dense_impl() == "pallas":
+        from .pallas.cluster import cluster_intersect
+        t, idx, bu, bv = cluster_intersect(scene.clusters, orig, d,
+                                           sort=True)
+        best = HitCore(t=t, kind=jnp.zeros_like(idx), idx=idx, bu=bu, bv=bv)
+    elif scene.bvh is not None:
         from .bvh import bvh_intersect
         best = bvh_intersect(scene, scene.bvh, orig, d)
     elif _dense_impl() == "pallas" and scene.n_tris:
@@ -267,6 +272,12 @@ def occluded(scene: SceneData, orig: Vec3, d: Vec3, dist) -> jnp.ndarray:
     BVH/fallback paths reuse the nearest-hit traversal. (Equivalent
     results either way: if the nearest hit fails the endpoint guard, no
     farther hit can pass it, since passing requires t <= dist - eps.)"""
+    if scene.clusters is not None and _dense_impl() == "pallas":
+        from .pallas.cluster import cluster_occluded
+        blocked = cluster_occluded(scene.clusters, orig, d, dist, sort=True)
+        if scene.n_spheres:
+            blocked = blocked | _sphere_occluded(scene, orig, d, dist)
+        return blocked
     if scene.bvh is None and _dense_impl() == "pallas" and scene.n_tris:
         from .pallas.intersect import pallas_tri_occluded
         blocked = pallas_tri_occluded(scene, orig, d, dist)

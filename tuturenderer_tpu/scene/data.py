@@ -121,8 +121,11 @@ class SceneData:
     # globals
     bkgcolor: Vec3           # scalar Vec3
     eta: jnp.ndarray         # scene index of refraction (scalar)
-    # acceleration structure (None = dense streaming intersection)
+    # acceleration structures (None = dense streaming intersection).
+    # bvh: flattened stack-traversal BVH (XLA while_loop path, CPU/fallback)
+    # clusters: streaming cluster-culling tables (Pallas TPU path)
     bvh: object
+    clusters: object
     # MXU-friendly triangle transform (Woop-style): rows of the inverse
     # [e1 e2 n] basis per triangle, laid out for [N,3] x [3,3T] matmuls.
     # woop_w [3, 3T]; woop_c [3T] (row . v0 offsets); woop_nlen [T] (|n|)
@@ -347,6 +350,7 @@ class SceneBuilder:
                           jnp.float32(self.bkgcolor[2])),
             eta=jnp.float32(self.eta),
             bvh=self._maybe_bvh(verts, use_bvh),
+            clusters=self._maybe_clusters(verts, use_bvh),
             **self._woop_arrays(verts),
             has_textures=any(len(v) > 0 for v in self.textures.values()),
             mtype_set=tuple(sorted(set(int(t) for t in m['mtype']))),
@@ -389,3 +393,12 @@ class SceneBuilder:
         if not use_bvh or verts.shape[0] == 0:
             return None
         return build_bvh(verts)
+
+    def _maybe_clusters(self, verts: np.ndarray, use_bvh):
+        from ..ops.bvh import BVH_THRESHOLD
+        from ..ops.pallas.cluster import build_clusters
+        if use_bvh is None:
+            use_bvh = verts.shape[0] >= BVH_THRESHOLD
+        if not use_bvh or verts.shape[0] == 0:
+            return None
+        return build_clusters(verts)
