@@ -13,12 +13,11 @@ scatter-adds into the framebuffer (``.at[].add`` with drop mode) — the
 pure-functional replacement for ``FrameBuffer.addRGB`` under a lock; under
 sharding these become per-shard partial films that are psum-reduced.
 
-The direct light->eye splat uses setRGB (overwrite, LightTracing.hpp:121);
-since the written value is the same constant for a given pixel, we
-reproduce it with a scatter that writes emission * We * SPP_inv once
-(max-combine would equal overwrite; we pre-compute the visible-light image
-with one scatter of the constant value per sample and divide by the hit
-count, which is exactly last-write-wins for identical values).
+The direct light->eye splat uses setRGB (overwrite, LightTracing.hpp:121),
+whose result depends on write order when several samples project to the
+same pixel with different light points. We replace it with deterministic
+channel max-combining (``.at[].max``), which is order- and
+shard-invariant; for a single visible sample it equals the overwrite.
 """
 from __future__ import annotations
 
@@ -146,12 +145,14 @@ def render(scene, cam: Camera, opts: RenderOptions, seed=0):
         fr, fg, fb, dr, dg, db, dmask = carry
         idx_list, rgb_list, didx, drgb = trace_sample(
             scene, cam, lane, s, seed, opts)
-        # direct visible-light splat: setRGB overwrite semantics —
-        # record value and mask; identical values make order irrelevant
+        # direct visible-light splat: the reference's setRGB overwrite is
+        # write-order-arbitrary when samples hit the same pixel with
+        # different light points (LightTracing.hpp:121); we use channel
+        # max-combining instead — deterministic and shard-invariant
         vdid = jnp.where(didx >= 0, didx, p)
-        dr = dr.at[vdid].set(drgb.x * spp_inv, mode='drop')
-        dg = dg.at[vdid].set(drgb.y * spp_inv, mode='drop')
-        db = db.at[vdid].set(drgb.z * spp_inv, mode='drop')
+        dr = dr.at[vdid].max(drgb.x * spp_inv, mode='drop')
+        dg = dg.at[vdid].max(drgb.y * spp_inv, mode='drop')
+        db = db.at[vdid].max(drgb.z * spp_inv, mode='drop')
         dmask = dmask.at[vdid].set(True, mode='drop')
         # vertex-connection splats: addRGB accumulate
         for i, (idx, rgb) in enumerate(zip(idx_list, rgb_list)):

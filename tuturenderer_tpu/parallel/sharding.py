@@ -60,6 +60,20 @@ def _padded_lane_count(n_pixels: int, n_tile: int) -> int:
     return ((n_pixels + n_tile - 1) // n_tile) * n_tile
 
 
+def _pixel_axes(mesh: Mesh) -> tuple:
+    """Axes the pixel/lane dimension shards over: every mesh axis except
+    'sample' (so a ('host','tile','sample') multi-host mesh tiles the
+    film over host x tile with no code changes)."""
+    return tuple(a for a in mesh.axis_names if a != "sample")
+
+
+def _n_pixel_shards(mesh: Mesh) -> int:
+    n = 1
+    for a in _pixel_axes(mesh):
+        n *= mesh.shape[a]
+    return n
+
+
 def render_sharded(scene: SceneData, cam: Camera, opts: RenderOptions,
                    mesh: Mesh, seed: int = 0):
     """Full-frame render distributed over ``mesh`` -> [H, W, 3] (replicated).
@@ -67,7 +81,8 @@ def render_sharded(scene: SceneData, cam: Camera, opts: RenderOptions,
     Pixels are sharded over 'tile'; each 'sample' row of the mesh traces an
     interleaved subset of spp and partial films are psum-reduced.
     """
-    n_tile = mesh.shape["tile"]
+    px_axes = _pixel_axes(mesh)
+    n_tile = _n_pixel_shards(mesh)
     n_sample = mesh.shape["sample"]
     assert opts.spp % n_sample == 0, \
         f"spp={opts.spp} must divide by sample axis {n_sample}"
@@ -95,8 +110,8 @@ def render_sharded(scene: SceneData, cam: Camera, opts: RenderOptions,
         return jax.lax.psum(film, "sample")
 
     fn = shard_map(shard_fn, mesh=mesh,
-                   in_specs=P("tile"),
-                   out_specs=P("tile", None), check_vma=False)
+                   in_specs=P(px_axes),
+                   out_specs=P(px_axes, None), check_vma=False)
     film = fn(lane)[:p]
     return film.reshape(cam.height, cam.width, 3)
 
@@ -109,7 +124,8 @@ def train_step_sharded(params: MaterialParams, target, scene: SceneData,
     loss against ``target``, and gradients are psum-reduced over both mesh
     axes before the update. Returns (new_params, loss)."""
     opts = dataclasses.replace(opts, differentiable=True)
-    n_tile = mesh.shape["tile"]
+    px_axes = _pixel_axes(mesh)
+    n_tile = _n_pixel_shards(mesh)
     n_sample = mesh.shape["sample"]
     spp_local = max(opts.spp // n_sample, 1)
 
@@ -145,13 +161,159 @@ def train_step_sharded(params: MaterialParams, target, scene: SceneData,
             return jnp.sum((film - tgt_shard) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(prm)
-        # gradient all-reduce over ICI: both mesh axes
-        grads = jax.lax.psum(grads, ("tile", "sample"))
-        loss = jax.lax.psum(loss, "tile") / (n_sample * p)
+        # gradient all-reduce: ICI within a slice, DCN across hosts
+        grads = jax.lax.psum(grads, px_axes + ("sample",))
+        loss = jax.lax.psum(loss, px_axes) / (n_sample * p)
         new_params = jax.tree.map(lambda w, g: w - lr * g, prm, grads)
         return new_params, loss
 
     fn = shard_map(shard_fn, mesh=mesh,
-                   in_specs=(P(), P("tile"), P("tile", None)),
+                   in_specs=(P(), P(px_axes), P(px_axes, None)),
                    out_specs=(P(), P()), check_vma=False)
     return fn(params, lane, tgt)
+
+
+def render_light_sharded(scene: SceneData, cam: Camera, opts: RenderOptions,
+                         mesh: Mesh, seed: int = 0):
+    """Light-tracing render distributed over ``mesh``.
+
+    Light paths are not tied to pixels, so the lane axis (path slots) is
+    sharded; every shard scatter-adds its splats into a FULL-frame partial
+    film. The vertex-connection splats are summed across shards (psum over
+    every axis — the all-reduce replacement for the reference's
+    mutex-guarded addRGB, LightTracing.hpp:181-200); the direct
+    visible-light component has setRGB overwrite semantics with identical
+    values, so partial films combine with pmax instead.
+    """
+    from ..integrators.light import trace_sample
+
+    px_axes = _pixel_axes(mesh)
+    n_tile = _n_pixel_shards(mesh)
+    n_sample = mesh.shape["sample"]
+    assert opts.spp % n_sample == 0
+    spp_local = opts.spp // n_sample
+
+    p = cam.n_pixels
+    p_pad = _padded_lane_count(p, n_tile)
+    lane = jnp.arange(p_pad, dtype=jnp.int32)
+    spp_inv = 1.0 / opts.spp
+
+    def shard_fn(lane_shard):
+        sample_id = jax.lax.axis_index("sample")
+        # padded lanes (>= p) must not trace: they would duplicate RNG
+        # streams of real lanes elsewhere. Mask them out.
+        live = lane_shard < p
+
+        def body(s, carry):
+            fr, fg, fb, dr, dg, db, dmask = carry
+            gs = s * n_sample + sample_id
+            idx_list, rgb_list, didx, drgb = trace_sample(
+                scene, cam, lane_shard, gs, seed, opts)
+            vdid = jnp.where((didx >= 0) & live, didx, p)
+            dr = dr.at[vdid].max(drgb.x * spp_inv, mode='drop')
+            dg = dg.at[vdid].max(drgb.y * spp_inv, mode='drop')
+            db = db.at[vdid].max(drgb.z * spp_inv, mode='drop')
+            dmask = dmask.at[vdid].set(1, mode='drop')
+            for i, (idx, rgb) in enumerate(zip(idx_list, rgb_list)):
+                if i == 0:
+                    continue
+                vidx = jnp.where((idx >= 0) & live, idx, p)
+                fr = fr.at[vidx].add(rgb.x * spp_inv, mode='drop')
+                fg = fg.at[vidx].add(rgb.y * spp_inv, mode='drop')
+                fb = fb.at[vidx].add(rgb.z * spp_inv, mode='drop')
+            return fr, fg, fb, dr, dg, db, dmask
+
+        zeros = jnp.zeros((p,), jnp.float32)
+        imask = jnp.zeros((p,), jnp.int32)
+        fr, fg, fb, dr, dg, db, dmask = jax.lax.fori_loop(
+            0, spp_local, body,
+            (zeros, zeros, zeros, zeros, zeros, zeros, imask))
+        all_axes = px_axes + ("sample",)
+        fr = jax.lax.psum(fr, all_axes)
+        fg = jax.lax.psum(fg, all_axes)
+        fb = jax.lax.psum(fb, all_axes)
+        dr = jax.lax.pmax(dr, all_axes)
+        dg = jax.lax.pmax(dg, all_axes)
+        db = jax.lax.pmax(db, all_axes)
+        dmask = jax.lax.pmax(dmask, all_axes)
+        bkg = scene.bkgcolor
+        r = jnp.where(dmask > 0, dr, bkg.x) + fr
+        g = jnp.where(dmask > 0, dg, bkg.y) + fg
+        b = jnp.where(dmask > 0, db, bkg.z) + fb
+        img = jnp.stack([r, g, b], axis=-1)
+        return jnp.where(jnp.isnan(img), 0.0, img)
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=P(px_axes),
+                   out_specs=P(None, None), check_vma=False)
+    return fn(lane).reshape(cam.height, cam.width, 3)
+
+
+def render_bdpt_sharded(scene: SceneData, cam: Camera, opts: RenderOptions,
+                        mesh: Mesh, seed: int = 0):
+    """BDPT render distributed over ``mesh``: per-pixel strategy estimates
+    stay in the owning shard; t=1 light-trace splats go into full-frame
+    partial films that are psum-reduced over every axis (the collective
+    replacement for the reference's mutex addRGB, BDPT.hpp:819-832)."""
+    from ..integrators.bdpt import render_sample_bdpt
+
+    px_axes = _pixel_axes(mesh)
+    n_tile = _n_pixel_shards(mesh)
+    n_sample = mesh.shape["sample"]
+    assert opts.spp % n_sample == 0
+    spp_local = opts.spp // n_sample
+
+    p = cam.n_pixels
+    p_pad = _padded_lane_count(p, n_tile)
+    lane = jnp.arange(p_pad, dtype=jnp.int32)
+    spp_inv = 1.0 / opts.spp
+
+    def shard_fn(lane_shard):
+        sample_id = jax.lax.axis_index("sample")
+        live = lane_shard < p
+        px = lane_shard % cam.width
+        py = jnp.minimum(lane_shard // cam.width, cam.height - 1)
+
+        def body(s, carry):
+            er, eg, eb, sr, sg_, sb = carry
+            gs = s * n_sample + sample_id
+            est, sidx, srgb = render_sample_bdpt(scene, cam, px, py,
+                                                 lane_shard, gs, seed, opts)
+            er = er + est.x * spp_inv
+            eg = eg + est.y * spp_inv
+            eb = eb + est.z * spp_inv
+            for idx, rgb in zip(sidx, srgb):
+                vidx = jnp.where((idx >= 0) & live, idx, p)
+                sr = sr.at[vidx].add(jnp.where(idx >= 0, rgb.x, 0.0),
+                                     mode='drop')
+                sg_ = sg_.at[vidx].add(jnp.where(idx >= 0, rgb.y, 0.0),
+                                       mode='drop')
+                sb = sb.at[vidx].add(jnp.where(idx >= 0, rgb.z, 0.0),
+                                     mode='drop')
+            return er, eg, eb, sr, sg_, sb
+
+        ez = jnp.zeros_like(lane_shard, dtype=jnp.float32)
+        fz = jnp.zeros((p,), jnp.float32)
+        er, eg, eb, sr, sg_, sb = jax.lax.fori_loop(
+            0, spp_local, body, (ez, ez, ez, fz, fz, fz))
+        # own-pixel estimates: reduce over the sample axis only
+        er = jax.lax.psum(er, "sample")
+        eg = jax.lax.psum(eg, "sample")
+        eb = jax.lax.psum(eb, "sample")
+        # splats: full all-reduce
+        all_axes = px_axes + ("sample",)
+        sr = jax.lax.psum(sr, all_axes)
+        sg_ = jax.lax.psum(sg_, all_axes)
+        sb = jax.lax.psum(sb, all_axes)
+        est = jnp.stack([er, eg, eb], axis=-1)
+        splat = jnp.stack([sr, sg_, sb], axis=-1)
+        return est, splat
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=P(px_axes),
+                   out_specs=(P(px_axes, None), P(None, None)),
+                   check_vma=False)
+    est, splat = fn(lane)
+    img = est[:p] + splat
+    img = jnp.where(jnp.isnan(img), 0.0, img)
+    return img.reshape(cam.height, cam.width, 3)
