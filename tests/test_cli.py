@@ -1,0 +1,75 @@
+"""CLI end-to-end: reference-grammar config -> image file, plus the
+progressive/checkpoint and profiling paths."""
+import os
+
+import numpy as np
+import pytest
+
+CONFIG = """\
+imsize 16 16
+eye 0 0 3
+viewdir 0 0 -1
+hfov 60
+updir 0 1 0
+bkgcolor 0.1 0.1 0.2 1.0
+integrator path
+
+mtlcolor 0.8 0.2 0.2 1 1 1 1.0 1.0
+v -1 -1 0
+v 1 -1 0
+v 0 1 0
+f 1 2 3
+
+emission 6 6 6
+v -0.5 1.2 0.5
+v 0.5 1.2 0.5
+v 0 1.2 -0.5
+f 4 5 6
+"""
+
+
+@pytest.fixture
+def config_path(tmp_path):
+    p = tmp_path / "scene.txt"
+    p.write_text(CONFIG)
+    return str(p)
+
+
+def _read_ppm(path):
+    from tuturenderer_tpu.io.ppm import read_ppm
+    return read_ppm(path)
+
+
+def test_cli_renders_ppm(config_path, capsys):
+    from tuturenderer_tpu.cli import main
+    out = config_path[:-4] + ".ppm"
+    main([config_path, "--spp", "2", "--max-depth", "2"])
+    assert os.path.exists(out)
+    img = _read_ppm(out)
+    assert img.shape == (16, 16, 3)
+    assert "successfully" in capsys.readouterr().out
+
+
+def test_cli_profile_and_png(config_path, tmp_path, capsys):
+    from tuturenderer_tpu.cli import main
+    out = str(tmp_path / "o.png")
+    main([config_path, "--spp", "2", "--max-depth", "2", "--profile",
+          "-o", out])
+    assert os.path.exists(out)
+    err = capsys.readouterr().err
+    assert "render" in err and "scene build" in err
+
+
+def test_cli_checkpoint_resume(config_path, tmp_path, capsys):
+    from tuturenderer_tpu.cli import main
+    ck = str(tmp_path / "film.npz")
+    out1 = str(tmp_path / "a.ppm")
+    out2 = str(tmp_path / "b.ppm")
+    # full 4-spp progressive render in 2-spp chunks
+    main([config_path, "--spp", "4", "--chunk-spp", "2",
+          "--checkpoint", ck, "-o", out1])
+    assert os.path.exists(ck)
+    # resume from the finished checkpoint: no new work, identical film
+    main([config_path, "--spp", "4", "--chunk-spp", "2",
+          "--checkpoint", ck, "-o", out2])
+    np.testing.assert_array_equal(_read_ppm(out1), _read_ppm(out2))

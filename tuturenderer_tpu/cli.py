@@ -30,22 +30,56 @@ def main(argv=None):
                     help="bloom + exposure tone-mapping post pass")
     ap.add_argument("-o", "--output", default=None,
                     help="output path (.ppm or .png); default <config>.ppm")
+    ap.add_argument("--profile", action="store_true",
+                    help="print per-phase timings and throughput counters")
+    ap.add_argument("--trace-dir", default=None,
+                    help="write a jax.profiler trace (XProf/TensorBoard)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="film checkpoint path: render progressively and "
+                         "resume from it after interruption")
+    ap.add_argument("--chunk-spp", type=int, default=8,
+                    help="spp per progressive chunk (with --checkpoint)")
     args = ap.parse_args(argv)
 
+    import contextlib
+
     from .options import RenderOptions
-    from .render import render_image
+    from .render import render_image, render_progressive
     from .scene.config import parse_config
     from .io.ppm import write_png, write_ppm
+    from .utils.profiling import Profiler, trace
 
     opts = RenderOptions(spp=args.spp, max_depth=args.max_depth,
                          mis=not args.no_mis, jitter=args.jitter,
                          gamma=args.gamma)
-    pc = parse_config(args.config)
-    scene = pc.builder.build()
-    cam = pc.camera()
+    prof = Profiler(enabled=args.profile)
+    with prof.phase("scene build"):
+        pc = parse_config(args.config)
+        scene = pc.builder.build()
+        cam = pc.camera()
     integrator = args.integrator or pc.integrator
-    img = render_image(scene, cam, opts, integrator=integrator,
-                       seed=args.seed, postprocess=args.post)
+
+    ctx = trace(args.trace_dir) if args.trace_dir else contextlib.nullcontext()
+    with ctx, prof.phase("render"):
+        if args.checkpoint:
+            img = render_progressive(scene, cam, opts, integrator=integrator,
+                                     seed=args.seed,
+                                     chunk_spp=args.chunk_spp,
+                                     checkpoint_path=args.checkpoint)
+            if args.post:
+                from .post import bloom_and_tonemap
+                import numpy as _np
+                img = _np.asarray(bloom_and_tonemap(img))
+        else:
+            img = render_image(scene, cam, opts, integrator=integrator,
+                               seed=args.seed, postprocess=args.post)
+    if args.profile:
+        totals = prof.report()
+        render_s = totals.get("render", 0.0)
+        if render_s > 0:
+            paths = cam.n_pixels * opts.spp
+            print(f"  {paths / 1e6:.2f}M paths, "
+                  f"{paths / render_s / 1e6:.2f} M paths/s", flush=True)
 
     out = args.output
     if out is None:
