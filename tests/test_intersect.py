@@ -131,3 +131,71 @@ def test_woop_matches_moller_trumbore():
     np.testing.assert_allclose(np.asarray(a.t)[both], np.asarray(w.t)[both],
                                rtol=1e-4)
     assert both.sum() > 0.9 * np.asarray(a.hit).sum()
+
+
+def test_transmittance_alpha_shadow():
+    """getShadowCoeffi semantics (BVHStrategy.hpp:13-45): the shadow
+    coefficient is the product of (1-alpha) over every occluder within
+    the distance, not a binary blocked bit."""
+    from tuturenderer_tpu.ops.intersect import transmittance
+    b = SceneBuilder()
+    m_half = b.add_material(alpha=0.5)     # translucent
+    m_thin = b.add_material(alpha=0.25)
+    m_opaque = b.add_material(alpha=1.0)
+    tri = lambda z: np.asarray(
+        [[[-1, -1, z], [1, -1, z], [0, 1, z]]], np.float32)
+    b.add_triangles(tri(1.0), None, None, m_half)
+    b.add_triangles(tri(2.0), None, None, m_thin)
+    b.add_triangles(tri(5.0), None, None, m_opaque)   # beyond dist
+    b.add_sphere((0.0, -0.2, 3.0), 0.2, m_half)       # crossed twice
+    s = b.build()
+    o, d = rays([[0, -0.2, 0], [0.5, 5.0, 0]], [[0, 0, 1], [0, 0, 1]])
+    tr = np.asarray(transmittance(s, o, d, jnp.asarray([4.0, 4.0])))
+    # ray 0: 0.5 * 0.75 * (sphere counts once: nearest-root semantics of
+    # the reference's Sphere::intersect -> one hit record per occluder)
+    np.testing.assert_allclose(tr[0], 0.5 * 0.75 * 0.5, rtol=1e-5)
+    np.testing.assert_allclose(tr[1], 1.0, rtol=1e-6)  # misses everything
+    # opaque occluder inside dist kills the ray entirely
+    tr2 = np.asarray(transmittance(s, o, d, jnp.asarray([6.0, 6.0])))
+    assert tr2[0] == 0.0
+
+
+def test_alpha_shadows_render_option():
+    """RenderOptions.alpha_shadows: NEE through a translucent occluder
+    keeps (1-alpha) of the light instead of binary blocking."""
+    import jax
+    from tuturenderer_tpu.camera import make_camera
+    from tuturenderer_tpu.integrators.path import render
+    from tuturenderer_tpu.options import RenderOptions
+
+    def build(alpha):
+        b = SceneBuilder(bkgcolor=(0, 0, 0))
+        floor = b.add_material(diffuse=(0.8, 0.8, 0.8))
+        b.add_triangles(np.asarray(
+            [[[-2, 0, -2], [0, 0, 2], [2, 0, -2]]], np.float32),
+            None, None, floor)
+        blocker = b.add_material(diffuse=(0.1, 0.1, 0.1), alpha=alpha)
+        b.add_triangles(np.asarray(
+            [[[-2, 1, -2], [2, 1, -2], [0, 1, 2]]], np.float32),
+            None, None, blocker)
+        light = b.add_material(emission=(20, 20, 20))
+        b.add_triangles(np.asarray(
+            [[[-0.6, 2, -0.8], [0.6, 2, -0.8], [0, 2, 0.6]]], np.float32),
+            None, None, light)
+        return b.build()
+
+    cam = make_camera(12, 12, 50, eye=(0, 0.5, -3), viewdir=(0, -0.15, 1),
+                      updir=(0, 1, 0))
+    opts = RenderOptions(spp=4, max_depth=2, alpha_shadows=True)
+    img_soft = np.asarray(jax.block_until_ready(
+        render(build(0.5), cam, opts, 0)))
+    img_opaque = np.asarray(jax.block_until_ready(
+        render(build(1.0), cam, opts, 0)))
+    img_binary = np.asarray(jax.block_until_ready(
+        render(build(0.5), cam,
+               RenderOptions(spp=4, max_depth=2), 0)))
+    assert np.isfinite(img_soft).all()
+    # translucent occluder passes light; opaque one behaves like binary
+    assert img_soft.mean() > img_opaque.mean() + 1e-4
+    np.testing.assert_allclose(img_opaque.mean(), img_binary.mean(),
+                               rtol=0.25)

@@ -26,6 +26,9 @@ def main(argv=None):
     ap.add_argument("--jitter", action="store_true",
                     help="enable sub-pixel jitter (reference has none)")
     ap.add_argument("--gamma", type=float, default=0.78)
+    ap.add_argument("--alpha-shadows", action="store_true",
+                    help="alpha-weighted soft shadows: NEE visibility = "
+                         "prod(1-alpha) over occluders (getShadowCoeffi)")
     ap.add_argument("--post", action="store_true",
                     help="bloom + exposure tone-mapping post pass")
     ap.add_argument("-o", "--output", default=None,
@@ -51,7 +54,7 @@ def main(argv=None):
 
     opts = RenderOptions(spp=args.spp, max_depth=args.max_depth,
                          mis=not args.no_mis, jitter=args.jitter,
-                         gamma=args.gamma)
+                         gamma=args.gamma, alpha_shadows=args.alpha_shadows)
     prof = Profiler(enabled=args.profile)
     with prof.phase("scene build"):
         pc = parse_config(args.config)

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 from ..camera import Camera, primary_ray
 from ..materials import (MatParams, bxdf_eval, bxdf_pdf, bxdf_sample,
                          d_ndf, gather_material, mis_power_weight)
-from ..ops.intersect import intersect_core, occluded, shade_hit
+from ..ops.intersect import (intersect_core, occluded, shade_hit,
+                             transmittance)
 from ..ops.lights import light_pdf_of_hit, sample_light
 from ..options import EPSILON, MIN_DIVISOR, RenderOptions
 from ..scene.data import (MICROFACET_T, PERFECT_REFLECTIVE, UNLIT, SceneData)
@@ -219,8 +220,15 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         lpos_off = ls.pos + ls.ng * EPSILON
         to_l = lpos_off - sh_orig
         dist_l = to_l.norm()
-        blocked = occluded(scene, sh_orig, to_l * (1.0 / jnp.maximum(dist_l, 1e-20)),
-                           dist_l)
+        sh_dir = to_l * (1.0 / jnp.maximum(dist_l, 1e-20))
+        if opts.alpha_shadows:
+            # soft visibility: product of (1-alpha) over every occluder
+            # (getShadowCoeffi, BVHStrategy.hpp:13-45)
+            sh_trans = transmittance(scene, sh_orig, sh_dir, dist_l)
+            blocked = sh_trans <= 0.0
+        else:
+            sh_trans = None
+            blocked = occluded(scene, sh_orig, sh_dir, dist_l)
         wi_l = (ls.pos - hit.pos)
         r2_l = wi_l.norm2()
         wi_l = wi_l.normalized(1e-20)
@@ -240,6 +248,8 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         live = nee_live & ~kill
         scale = jnp.where(live, w_l * cos_t * cos_p /
                           jnp.maximum(denom, 1e-20), 0.0)
+        if sh_trans is not None:
+            scale = scale * sh_trans
         L = L + vwhere(live, w * ls.emission * f_r_l * scale, z3)
         alive = alive & ~kill
 

@@ -288,6 +288,77 @@ def occluded(scene: SceneData, orig: Vec3, d: Vec3, dist) -> jnp.ndarray:
     return core.hit & (core.t < dist) & (jnp.abs(core.t - dist) >= PARALLEL_EPS)
 
 
+def transmittance(scene: SceneData, orig: Vec3, d: Vec3, dist) -> jnp.ndarray:
+    """Alpha-weighted shadow coefficient: the product of ``(1 - alpha)``
+    over EVERY primitive the shadow ray crosses within ``dist`` — the
+    strategy layer's getShadowCoeffi/ShadowHelper (BVHStrategy.hpp:13-45,
+    BaseInterStrategy.hpp:25-43; multiplicative accumulation at
+    BVHStrategy.hpp:38-44). Fully opaque occluders (alpha=1) yield 0;
+    translucent ones attenuate. Dense all-primitive evaluation — this is
+    exactly the reference's semantics, which visits every overlapped leaf.
+    """
+    n = orig.x.shape[0]
+    trans = jnp.ones((n,), jnp.float32)
+    dist = jnp.asarray(dist)
+    if dist.ndim == 0:
+        dist = jnp.full((n,), dist)
+
+    # triangles, in chunks: every accepted hit with t < dist attenuates
+    lo = 0
+    while lo < scene.n_tris:
+        size = min(CHUNK, scene.n_tris - lo)
+        sl = slice(lo, lo + size)
+        v0 = Vec3(scene.tv0.x[sl], scene.tv0.y[sl], scene.tv0.z[sl])
+        v1 = Vec3(scene.tv1.x[sl], scene.tv1.y[sl], scene.tv1.z[sl])
+        v2 = Vec3(scene.tv2.x[sl], scene.tv2.y[sl], scene.tv2.z[sl])
+        e1 = v1 - v0
+        e2 = v2 - v0
+        nrm = e1.cross(e2)
+        n_unit = nrm * (1.0 / jnp.maximum(nrm.norm(), 1e-30))
+        dx, dy, dz = d.x[:, None], d.y[:, None], d.z[:, None]
+        sx = orig.x[:, None] - v0.x[None, :]
+        sy = orig.y[:, None] - v0.y[None, :]
+        sz = orig.z[:, None] - v0.z[None, :]
+        s1x = dy * e2.z[None, :] - dz * e2.y[None, :]
+        s1y = dz * e2.x[None, :] - dx * e2.z[None, :]
+        s1z = dx * e2.y[None, :] - dy * e2.x[None, :]
+        s2x = sy * e1.z[None, :] - sz * e1.y[None, :]
+        s2y = sz * e1.x[None, :] - sx * e1.z[None, :]
+        s2z = sx * e1.y[None, :] - sy * e1.x[None, :]
+        det = s1x * e1.x[None, :] + s1y * e1.y[None, :] + s1z * e1.z[None, :]
+        dn = dx * n_unit.x[None, :] + dy * n_unit.y[None, :] \
+            + dz * n_unit.z[None, :]
+        inv = 1.0 / jnp.where(det == 0.0, 1.0, det)
+        t = (s2x * e2.x[None, :] + s2y * e2.y[None, :]
+             + s2z * e2.z[None, :]) * inv
+        u = (s1x * sx + s1y * sy + s1z * sz) * inv
+        v = (s2x * dx + s2y * dy + s2z * dz) * inv
+        ok = (jnp.abs(dn) >= PARALLEL_EPS) & (det != 0.0) & (t > 0.0) \
+            & (u > 0.0) & (v > 0.0) & (1.0 - u - v > 0.0) \
+            & (t < dist[:, None])
+        a = scene.materials.alpha[scene.tmat[sl]][None, :]     # [1,C]
+        trans = trans * jnp.prod(jnp.where(ok, 1.0 - a, 1.0), axis=1)
+        lo += size
+
+    # spheres
+    if scene.n_spheres:
+        lx = orig.x[:, None] - scene.scenter.x[None, :]
+        ly = orig.y[:, None] - scene.scenter.y[None, :]
+        lz = orig.z[:, None] - scene.scenter.z[None, :]
+        b = d.x[:, None] * lx + d.y[:, None] * ly + d.z[:, None] * lz
+        c = lx * lx + ly * ly + lz * lz \
+            - scene.sradius[None, :] * scene.sradius[None, :]
+        disc = b * b - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = -b - sq
+        t2 = -b + sq
+        t = jnp.where(t1 > 0.0, t1, t2)
+        ok = (disc >= 0.0) & (t > 0.0) & (t < dist[:, None])
+        a = scene.materials.alpha[scene.smat][None, :]
+        trans = trans * jnp.prod(jnp.where(ok, 1.0 - a, 1.0), axis=1)
+    return trans
+
+
 def shade_hit(scene: SceneData, orig: Vec3, d: Vec3, core: HitCore) -> HitRecord:
     """Expand a HitCore into a full shading record by gathering the winning
     primitive's attributes (what Triangle::intersect / Sphere::intersect

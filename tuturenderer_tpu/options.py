@@ -26,6 +26,11 @@ class RenderOptions:
     russian_roulette: bool = True
     jitter: bool = False          # reference has no sub-pixel jitter
     gamma: float = GAMMA_VAL
+    # alpha-weighted soft shadows: NEE visibility becomes the product of
+    # (1-alpha) over occluders (strategy-layer getShadowCoeffi,
+    # BVHStrategy.hpp:13-45 — present in the reference but never wired to
+    # an integrator; here it is a first-class switch)
+    alpha_shadows: bool = False
     # compat knobs reproducing reference quirks (see SURVEY.md quirks list)
     tutu_light_pick: bool = False
     tutu_tri_sample: bool = False
