@@ -73,3 +73,13 @@ def test_cli_checkpoint_resume(config_path, tmp_path, capsys):
     main([config_path, "--spp", "4", "--chunk-spp", "2",
           "--checkpoint", ck, "-o", out2])
     np.testing.assert_array_equal(_read_ppm(out1), _read_ppm(out2))
+
+
+def test_cli_estimator_grid(config_path, tmp_path):
+    """--estimator-grid: 2x2 A/B comparison (README.md:103-109 figure)."""
+    from tuturenderer_tpu.cli import main
+    out = str(tmp_path / "grid.ppm")
+    main([config_path, "--spp", "2", "--max-depth", "2",
+          "--estimator-grid", "-o", out])
+    img = _read_ppm(out)
+    assert img.shape == (32, 32, 3)

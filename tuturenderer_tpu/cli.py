@@ -26,6 +26,10 @@ def main(argv=None):
     ap.add_argument("--jitter", action="store_true",
                     help="enable sub-pixel jitter (reference has none)")
     ap.add_argument("--gamma", type=float, default=0.78)
+    ap.add_argument("--estimator-grid", action="store_true",
+                    help="render the 2x2 estimator comparison grid "
+                         "(BSDF-only | light-only // NEE | NEE+MIS), the "
+                         "reference README's A/B figure")
     ap.add_argument("--alpha-shadows", action="store_true",
                     help="alpha-weighted soft shadows: NEE visibility = "
                          "prod(1-alpha) over occluders (getShadowCoeffi)")
@@ -64,7 +68,10 @@ def main(argv=None):
 
     ctx = trace(args.trace_dir) if args.trace_dir else contextlib.nullcontext()
     with ctx, prof.phase("render"):
-        if args.checkpoint:
+        if args.estimator_grid:
+            from .render import estimator_grid
+            img = estimator_grid(scene, cam, opts, seed=args.seed)
+        elif args.checkpoint:
             img = render_progressive(scene, cam, opts, integrator=integrator,
                                      seed=args.seed,
                                      chunk_spp=args.chunk_spp,

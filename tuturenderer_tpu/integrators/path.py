@@ -359,10 +359,17 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         return L + vwhere(good, state['w_em'] * w_m * params.emission,
                           _zeros3(nn))
 
+    # per-bounce rematerialization for the differentiable path: without it
+    # the scan's backward stores every bounce intermediate ([N]-wide hit
+    # records, BSDF terms, ...) as HBM residuals, and the backward pass is
+    # bandwidth-bound on residual traffic; recomputing the bounce from its
+    # carry is far cheaper on TPU
+    bounce_body = jax.checkpoint(bounce) if opts.differentiable else bounce
+
     sched = opts.compaction
     if not sched:
         depths = jnp.arange(opts.max_depth + 1, dtype=jnp.int32)
-        state, _ = jax.lax.scan(bounce, state, depths)
+        state, _ = jax.lax.scan(bounce_body, state, depths)
         return epilogue(state)
 
     # ---- compacted execution: unrolled bounce loop with a static shrink
@@ -406,7 +413,7 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         if k < cur['o'].x.shape[0]:
             film = flush(film, cur)
             cur = compact(cur, k)
-        cur, _ = jax.lax.scan(bounce, cur,
+        cur, _ = jax.lax.scan(bounce_body, cur,
                               jnp.asarray(depths, dtype=jnp.int32))
     L_final = epilogue(cur)
     ids = cur['lane']

@@ -126,6 +126,27 @@ def _render_chunk(run, scene, cam, opts, seed, sample_base):
     return go()
 
 
+def estimator_grid(scene: SceneData, cam: Camera, opts: RenderOptions,
+                   seed: int = 0) -> np.ndarray:
+    """2x2 estimator A/B grid: BSDF-only | light-only // NEE | NEE+MIS.
+
+    The reference publishes this comparison as a README image grid
+    (README.md:103-109: BSDF-sample-only vs light-sample-only vs NEE vs
+    NEE+MIS on the same scene) rendered from four compile-time variants;
+    here it is one call over the four compiled estimators.
+    -> [2H, 2W, 3] linear float32.
+    """
+    import dataclasses as _dc
+
+    bsdf_only = render_image(scene, cam, opts, "naivept", seed)
+    light_only = render_image(scene, cam, opts, "light", seed)
+    nee = render_image(scene, cam, _dc.replace(opts, mis=False), "path", seed)
+    mis = render_image(scene, cam, _dc.replace(opts, mis=True), "path", seed)
+    top = np.concatenate([bsdf_only, light_only], axis=1)
+    bottom = np.concatenate([nee, mis], axis=1)
+    return np.concatenate([top, bottom], axis=0)
+
+
 def render_config(config_path: str, opts: Optional[RenderOptions] = None,
                   seed: int = 0, verbose: bool = True) -> np.ndarray:
     """Full pipeline from a reference-format config file (the equivalent of
