@@ -35,6 +35,19 @@ def main(argv=None):
                          "prod(1-alpha) over occluders (getShadowCoeffi)")
     ap.add_argument("--post", action="store_true",
                     help="bloom + exposure tone-mapping post pass")
+    ap.add_argument("--bdpt-s", type=int, default=-1,
+                    help="debug: isolate BDPT strategies with this light-"
+                         "subpath length s (reference S_CHECK)")
+    ap.add_argument("--bdpt-t", type=int, default=-1,
+                    help="debug: isolate BDPT strategies with this eye-"
+                         "subpath length t (reference T_CHECK)")
+    ap.add_argument("--bdpt-unweighted", action="store_true",
+                    help="debug: drop MIS weights to validate a strategy's "
+                         "unweighted contribution (reference CHECK_MIS)")
+    ap.add_argument("--raster-check", action="store_true",
+                    help="debug: render the raster-projection consistency "
+                         "pass instead of the integrator (reference "
+                         "CHECK_LT, LightTracing.hpp:28-93)")
     ap.add_argument("-o", "--output", default=None,
                     help="output path (.ppm or .png); default <config>.ppm")
     ap.add_argument("--profile", action="store_true",
@@ -58,7 +71,9 @@ def main(argv=None):
 
     opts = RenderOptions(spp=args.spp, max_depth=args.max_depth,
                          mis=not args.no_mis, jitter=args.jitter,
-                         gamma=args.gamma, alpha_shadows=args.alpha_shadows)
+                         gamma=args.gamma, alpha_shadows=args.alpha_shadows,
+                         bdpt_s_filter=args.bdpt_s, bdpt_t_filter=args.bdpt_t,
+                         bdpt_unweighted=args.bdpt_unweighted)
     prof = Profiler(enabled=args.profile)
     with prof.phase("scene build"):
         pc = parse_config(args.config)
@@ -68,7 +83,11 @@ def main(argv=None):
 
     ctx = trace(args.trace_dir) if args.trace_dir else contextlib.nullcontext()
     with ctx, prof.phase("render"):
-        if args.estimator_grid:
+        if args.raster_check:
+            import numpy as _np
+            from .integrators.light import raster_check
+            img = _np.asarray(raster_check(scene, cam, opts, seed=args.seed))
+        elif args.estimator_grid:
             from .render import estimator_grid
             img = estimator_grid(scene, cam, opts, seed=args.seed)
         elif args.checkpoint:

@@ -373,8 +373,14 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
     max_len = opts.bdpt_max_path_length
     l_emission = lp[0]['emission']
 
-    # UNLIT first hit: diffuse once (deviation, see module docstring)
-    if True:
+    def strategy_weight(w):
+        # CHECK_MIS-equivalent: validate a strategy's unweighted contribution
+        return jnp.ones((n,)) if opts.bdpt_unweighted else w
+
+    # UNLIT first hit: diffuse once (deviation, see module docstring).
+    # Counted under (s=0, t=2) for the strategy-isolation partition so
+    # that summing over s filters (or t filters) includes it exactly once.
+    if opts.bdpt_s_filter in (-1, 0) and opts.bdpt_t_filter in (-1, 2):
         v1 = ep[1]
         unlit = v1['valid'] & (v1['params'].mtype == UNLIT)
         estimate = estimate + vwhere(unlit, v1['params'].diffuse, _zeros3(n))
@@ -383,6 +389,11 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
         for s in range(0, path_length + 1):
             t = path_length + 1 - s
             if t < 1 or t > len(ep) or s > len(lp):
+                continue
+            # S_CHECK / T_CHECK strategy isolation (BDPT.hpp:490-493)
+            if opts.bdpt_s_filter >= 0 and s != opts.bdpt_s_filter:
+                continue
+            if opts.bdpt_t_filter >= 0 and t != opts.bdpt_t_filter:
                 continue
 
             if s == 0:
@@ -398,7 +409,7 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
                 ev['light_pick_pdf'] = light_pdf_of_hit_params(scene, ev)
                 ep_mod = list(ep)
                 ep_mod[t - 1] = ev
-                w = mis_weight(scene, cam, ep_mod, lp, s, t, eta_scene)
+                w = strategy_weight(mis_weight(scene, cam, ep_mod, lp, s, t, eta_scene))
                 estimate = estimate + vwhere(ok, contrib * w, _zeros3(n))
                 continue
 
@@ -427,7 +438,7 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
                 g = geo(cam.position, cam.fwd, lv['pos'], lv['ng'])
                 we_v, idx = importance_we(cam, lv['pos'])
                 contrib = l_emission * bsdf * lv['tp'] * (g * we_v / opts.spp)
-                w = mis_weight(scene, cam, ep, lp, s, t, eta_scene)
+                w = strategy_weight(mis_weight(scene, cam, ep, lp, s, t, eta_scene))
                 ls_ns = lv['ns'] if s > 1 else lv['ng']
                 oo = lv['pos'] + vwhere(inside, -ls_ns, ls_ns) * EPSILON
                 toc = Vec3(cam.position.x - oo.x, cam.position.y - oo.y,
@@ -479,7 +490,7 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
                 l_emission * (g * we_pix)
             zero_c = (contrib.x == 0) & (contrib.y == 0) & (contrib.z == 0)
             ok = ok & ~blocked & ~zero_c
-            w = mis_weight(scene, cam, ep, lp, s, t, eta_scene)
+            w = strategy_weight(mis_weight(scene, cam, ep, lp, s, t, eta_scene))
             estimate = estimate + vwhere(ok, contrib * w, _zeros3(n))
 
     bad = jnp.isnan(estimate.x) | jnp.isnan(estimate.y) | jnp.isnan(estimate.z)

@@ -136,6 +136,58 @@ def trace_sample(scene, cam: Camera, lane, sample_idx, seed,
 
 
 @partial(jax.jit, static_argnames=("opts",))
+def raster_check(scene, cam: Camera, opts: RenderOptions, seed=0):
+    """CHECK_LT-equivalent debug pass (LightTracing.hpp:5, 28-93): trace a
+    primary ray per pixel, project the hit point back through the camera's
+    world->raster chain, and splat the surface albedo at the PROJECTED
+    pixel. If ``worldPos2PixelIndex`` is consistent with ray generation,
+    the output is a flat-shaded image of the scene in place; any
+    projection error shows up as smearing/displacement. Returns the debug
+    image [H, W, 3]."""
+    p = cam.n_pixels
+    lane = jnp.arange(p, dtype=jnp.int32)
+    px = lane % cam.width
+    py = lane // cam.width
+    from ..camera import primary_ray
+    o, d, _ = primary_ray(cam, px, py)
+    core = intersect_core(scene, o, d)
+    hit = shade_hit(scene, o, d, core)
+    params = gather_material(scene, hit.mat)
+    idx = world_to_pixel_index(cam, hit.pos)
+    ok = hit.hit & (idx >= 0)
+    vidx = jnp.where(ok, idx, p)
+    color = vwhere(params.emissive, params.emission, params.diffuse)
+    bkg = scene.bkgcolor
+    fr = jnp.full((p,), bkg.x).at[vidx].set(
+        jnp.where(ok, color.x, 0.0), mode='drop')
+    fg = jnp.full((p,), bkg.y).at[vidx].set(
+        jnp.where(ok, color.y, 0.0), mode='drop')
+    fb = jnp.full((p,), bkg.z).at[vidx].set(
+        jnp.where(ok, color.z, 0.0), mode='drop')
+    img = jnp.stack([fr, fg, fb], axis=-1)
+    return img.reshape(cam.height, cam.width, 3)
+
+
+def raster_roundtrip_error(scene, cam: Camera):
+    """Fraction of hit pixels whose hit point projects back to a DIFFERENT
+    pixel index — the quantitative form of the CHECK_LT eyeball test.
+    Should be ~0 for a consistent camera (boundary pixels may round across
+    an edge)."""
+    p = cam.n_pixels
+    lane = jnp.arange(p, dtype=jnp.int32)
+    px = lane % cam.width
+    py = lane // cam.width
+    from ..camera import primary_ray
+    o, d, _ = primary_ray(cam, px, py)
+    core = intersect_core(scene, o, d)
+    hit = shade_hit(scene, o, d, core)
+    idx = world_to_pixel_index(cam, hit.pos)
+    mism = hit.hit & (idx != lane)
+    n_hit = jnp.maximum(jnp.sum(hit.hit), 1)
+    return jnp.sum(mism) / n_hit
+
+
+@partial(jax.jit, static_argnames=("opts",))
 def render(scene, cam: Camera, opts: RenderOptions, seed=0):
     p = cam.n_pixels
     lane = jnp.arange(p, dtype=jnp.int32)

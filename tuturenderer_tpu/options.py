@@ -31,6 +31,16 @@ class RenderOptions:
     # BVHStrategy.hpp:13-45 — present in the reference but never wired to
     # an integrator; here it is a first-class switch)
     alpha_shadows: bool = False
+    # BDPT debug harness (the reference's compile-time CHECK/S_CHECK/
+    # T_CHECK/CHECK_MIS flags, BDPT.hpp:9-12, 490-493, 760-762): isolate a
+    # single strategy family by its s (light-subpath length) and/or t
+    # (eye-subpath length), and optionally drop the MIS weight so each
+    # strategy's unweighted contribution can be validated in isolation.
+    # -1 disables a filter. Static fields -> compiled specializations,
+    # exactly like the reference's #define variants.
+    bdpt_s_filter: int = -1
+    bdpt_t_filter: int = -1
+    bdpt_unweighted: bool = False
     # compat knobs reproducing reference quirks (see SURVEY.md quirks list)
     tutu_light_pick: bool = False
     tutu_tri_sample: bool = False
