@@ -370,6 +370,22 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
     splat_idx = []
     splat_rgb = []
 
+    # Deferred occlusion: every connection strategy's shadow ray is queued
+    # and traced in ONE batched any-hit pass after the strategy loop —
+    # ~27 per-strategy kernel launches (each re-streaming the scene)
+    # collapse into a single [K*N]-ray traversal. Visibility-gated
+    # contributions are applied afterwards from the pending list.
+    occl_o: List[Vec3] = []
+    occl_d: List[Vec3] = []
+    occl_dist: List = []
+    pending: List[Dict] = []
+
+    def queue_occlusion(orig: Vec3, dirn: Vec3, dist) -> int:
+        occl_o.append(orig)
+        occl_d.append(dirn)
+        occl_dist.append(dist)
+        return len(occl_o) - 1
+
     max_len = opts.bdpt_max_path_length
     l_emission = lp[0]['emission']
 
@@ -444,14 +460,14 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
                 toc = Vec3(cam.position.x - oo.x, cam.position.y - oo.y,
                            cam.position.z - oo.z)
                 dc = toc.norm()
-                viso = ~occluded(scene, oo, toc * (1.0 / jnp.maximum(dc, 1e-20)),
-                                 dc)
+                q = queue_occlusion(oo, toc * (1.0 / jnp.maximum(dc, 1e-20)),
+                                    dc)
                 front = wi.dot(cam.fwd) < 0.0
-                ok = ok & viso & front & (idx >= 0)
+                ok = ok & front & (idx >= 0)
                 zero_c = (contrib.x == 0) & (contrib.y == 0) & (contrib.z == 0)
                 ok = ok & ~zero_c
-                splat_idx.append(jnp.where(ok, idx, -1))
-                splat_rgb.append(contrib * w)
+                pending.append(dict(kind='splat', ok=ok, q=q, idx=idx,
+                                    rgb=contrib * w))
                 continue
 
             # general connection strategy (BDPT.hpp:836-885)
@@ -482,16 +498,33 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
                 l_orig = lv['pos'] + vwhere(l_inside, -lv['ns'], lv['ns']) * EPSILON
             seg = l_orig - e_orig
             seg_len = seg.norm()
-            blocked = occluded(scene, e_orig,
-                               seg * (1.0 / jnp.maximum(seg_len, 1e-20)),
-                               seg_len)
+            q = queue_occlusion(e_orig,
+                                seg * (1.0 / jnp.maximum(seg_len, 1e-20)),
+                                seg_len)
             g = geo(ev['pos'], ev['ng'], lv['pos'], lv['ng'])
             contrib = ev['tp'] * ev_bsdf * lv['tp'] * lv_bsdf * \
                 l_emission * (g * we_pix)
             zero_c = (contrib.x == 0) & (contrib.y == 0) & (contrib.z == 0)
-            ok = ok & ~blocked & ~zero_c
+            ok = ok & ~zero_c
             w = strategy_weight(mis_weight(scene, cam, ep, lp, s, t, eta_scene))
-            estimate = estimate + vwhere(ok, contrib * w, _zeros3(n))
+            pending.append(dict(kind='est', ok=ok, q=q, rgb=contrib * w))
+
+    # ---- batched any-hit pass over every queued connection shadow ray
+    if occl_o:
+        cat = lambda xs: jnp.concatenate(xs, axis=0)
+        all_o = Vec3(cat([v.x for v in occl_o]), cat([v.y for v in occl_o]),
+                     cat([v.z for v in occl_o]))
+        all_d = Vec3(cat([v.x for v in occl_d]), cat([v.y for v in occl_d]),
+                     cat([v.z for v in occl_d]))
+        blocked_all = occluded(scene, all_o, all_d, cat(occl_dist))
+        blocked_rows = blocked_all.reshape(len(occl_o), n)
+        for rec in pending:
+            ok = rec['ok'] & ~blocked_rows[rec['q']]
+            if rec['kind'] == 'est':
+                estimate = estimate + vwhere(ok, rec['rgb'], _zeros3(n))
+            else:
+                splat_idx.append(jnp.where(ok, rec['idx'], -1))
+                splat_rgb.append(rec['rgb'])
 
     bad = jnp.isnan(estimate.x) | jnp.isnan(estimate.y) | jnp.isnan(estimate.z)
     estimate = vwhere(bad, _zeros3(n), estimate)
