@@ -18,10 +18,27 @@ def _setup_compilation_cache() -> None:
     """
     if _os.environ.get("TUTU_NO_COMPILE_CACHE"):
         return
-    cache_dir = _os.environ.get(
-        "TUTU_COMPILE_CACHE_DIR",
-        _os.path.join(_os.path.dirname(_os.path.dirname(
-            _os.path.abspath(__file__))), ".jax_cache"))
+    # existing user configuration always wins: never override a cache dir
+    # set via JAX's own env var or configured programmatically
+    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        if _jax.config.jax_compilation_cache_dir is not None:
+            return
+    except AttributeError:
+        pass
+    cache_dir = _os.environ.get("TUTU_COMPILE_CACHE_DIR")
+    if cache_dir is None:
+        # repo-local cache only for an editable/dev checkout (the package's
+        # parent directory is writable and not site-packages); otherwise a
+        # per-user cache dir
+        parent = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        if "site-packages" not in parent and _os.access(parent, _os.W_OK):
+            cache_dir = _os.path.join(parent, ".jax_cache")
+        else:
+            cache_dir = _os.path.join(
+                _os.path.expanduser("~"), ".cache", "tuturenderer_tpu",
+                "jax_cache")
     try:
         _jax.config.update("jax_compilation_cache_dir", cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -48,6 +48,8 @@ from ..utils.vec import Vec3, reflect, where as vwhere
 FROM_CAMERA = 0
 FROM_BSDF = 1       # BSDF sample of a non-refractive vertex (MIS pending)
 FROM_REFRACT = 2    # calcForRefractive continuation
+FROM_MIRROR = 3     # NEE-only mode: calcForMirror continuation
+FROM_INDIRECT = 4   # NEE-only mode: indirect-illumination continuation
 
 
 def _zeros3(n):
@@ -358,6 +360,207 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         w_m = jnp.where(good, w_m, 0.0)
         return L + vwhere(good, state['w_em'] * w_m * params.emission,
                           _zeros3(nn))
+
+    if not opts.mis:
+        # ---------------- NEE-only estimator (the reference's !MIS branch,
+        # PathTracing.hpp:281-347): light sampling is the ONLY direct-light
+        # strategy; there is no BSDF-sample emissive payout, so emission is
+        # seen only on camera rays. Perfect mirrors take the calcForMirror
+        # special case (PathTracing.hpp:50-70): unweighted recursion through
+        # the delta reflection; refractives take calcForRefractive exactly as
+        # in the MIS branch. The wavefront form mirrors the MIS bounce: each
+        # vertex commits its NEE contribution inline, continuations carry a
+        # prefix weight, and the child vertex resolves the parent's
+        # "intersected && non-emissive" recursion gate (PathTracing.hpp:337).
+        state = dict(
+            o=orig, d=d,
+            L=_zeros3(n),
+            w=Vec3(jnp.ones((n,)), jnp.ones((n,)), jnp.ones((n,))),
+            tp=Vec3(jnp.ones((n,)), jnp.ones((n,)), jnp.ones((n,))),
+            alive=jnp.ones((n,), bool),
+            from_kind=jnp.full((n,), FROM_CAMERA, jnp.int32),
+            lane=lane,
+        )
+
+        def bounce(state, depth):   # noqa: F811 — NEE-mode replacement
+            o, d = state['o'], state['d']
+            alive = state['alive']
+            w = state['w']
+            L = state['L']
+            from_kind = state['from_kind']
+            nn = o.x.shape[0]
+            z3 = _zeros3(nn)
+            one = jnp.ones((nn,))
+
+            u = lambda purpose: rng.uniform(seed, state['lane'], sample_idx,
+                                            depth, purpose)
+
+            core = intersect_core(scene, o, d)
+            hit = shade_hit(scene, o, d, core)
+            params = gather_material(scene, hit.mat)
+            params, ns = apply_textures(scene, hit, params)
+            hit = hit._replace(ns=ns)
+            wo = -d
+
+            # miss: bkgcolor for camera rays and refractive continuations
+            # (traceRay:150); a missed mirror ray returns 0 (calcForMirror
+            # checks x_inter before recursing, PathTracing.hpp:59-68); the
+            # indirect recursion is handed a known hit so it cannot miss
+            miss = alive & ~hit.hit
+            add_bkg = miss & ((from_kind == FROM_CAMERA) |
+                              (from_kind == FROM_REFRACT))
+            L = L + vwhere(add_bkg, w * scene.bkgcolor, z3)
+            alive = alive & hit.hit
+
+            # emissive: weight-1 on camera rays; every depth>0 provenance
+            # returns 0 (traceRay:163-170 — and the indirect recursion never
+            # enters emissive hits at all, PathTracing.hpp:337)
+            emissive = params.emissive & alive
+            L = L + vwhere(emissive & (from_kind == FROM_CAMERA),
+                           w * params.emission, z3)
+            alive = alive & ~emissive
+
+            refr = params.is_refractive_kind
+            mirror = (params.mtype == PERFECT_REFLECTIVE)
+
+            # UNLIT returns diffuse from any provenance (the indirect
+            # recursion enters non-emissive hits; UNLIT qualifies)
+            unlit = alive & (params.mtype == UNLIT)
+            L = L + vwhere(unlit, w * params.diffuse, z3)
+            alive = alive & ~unlit
+
+            diff = alive & ~refr & ~mirror
+            tp = state['tp']
+
+            # ============================== direct illumination (NEE,
+            # PathTracing.hpp:287-312): no MIS weight, no MIN_DIVISOR kill;
+            # geometry uses Ng for the shadow offset and the light's Ng for
+            # cos_theta_prime, and cos_theta = wi.Ns is SIGNED
+            ls = sample_light(scene, u(rng.LIGHT_PICK), u(rng.LIGHT_U),
+                              u(rng.LIGHT_V), opts.tutu_light_pick,
+                              opts.tutu_tri_sample)
+            ls = ls._replace(pos=sg(ls.pos), ng=sg(ls.ng),
+                             pdf_area=sg(ls.pdf_area))
+            ray_inside = hit.ng.dot(wo) < 0.0       # Ng (PathTracing.hpp:293)
+            sh_orig = hit.pos + vwhere(ray_inside, -hit.ng, hit.ng) * EPSILON
+            to_l = ls.pos - sh_orig                 # light pos not offset
+            dist_l = to_l.norm()
+            sh_dir = to_l * (1.0 / jnp.maximum(dist_l, 1e-20))
+            if opts.alpha_shadows:
+                sh_trans = transmittance(scene, sh_orig, sh_dir, dist_l)
+                blocked = sh_trans <= 0.0
+            else:
+                sh_trans = None
+                blocked = occluded(scene, sh_orig, sh_dir, dist_l)
+            p2l = (ls.pos - hit.pos).normalized(1e-20)
+            cos_p = ls.ng.normalized(1e-20).dot(-p2l)
+            cos_t = p2l.dot(hit.ns)                 # signed (hpp:306)
+            dis2 = (ls.pos - hit.pos).norm2()
+            f_r_l = bxdf_eval(params, p2l, wo, hit.ng, hit.ns, eta_scene,
+                              types=types)
+            # cos_theta_prime < 0 rejected, == 0 kept (hpp:300)
+            dir_live = diff & ls.valid & ~blocked & (cos_p >= 0.0)
+            denom = jnp.maximum(dis2 * ls.pdf_area, 1e-20)
+            dir_scale = jnp.where(dir_live, cos_t * cos_p / denom, 0.0)
+            if sh_trans is not None:
+                dir_scale = dir_scale * sh_trans
+            dir_illu = ls.emission * f_r_l * dir_scale
+
+            # ============================== RR before sampling (hpp:315-319)
+            tp_eff = vwhere(depth > opts.min_depth, tp, Vec3(one, one, one))
+            rr_prob = sg(jnp.clip(tp_eff.max_component(), 0.0, 1.0)) \
+                if opts.russian_roulette else one
+            rr_survive = u(rng.RR) <= rr_prob
+
+            # ============================== BSDF sample (shared by the
+            # mirror / refractive / indirect-illumination cases)
+            samp = bxdf_sample(params, wo, hit.ns, u(rng.BSDF_U0),
+                               u(rng.BSDF_U1), u(rng.BSDF_LOTTERY), eta_scene,
+                               opts.ggx_sample_bug, types=types)
+            samp = samp._replace(wi=sg(samp.wi))
+            wi = samp.wi
+            mat_pdf = sg(bxdf_pdf(params, wi, wo, hit.ns, eta_scene,
+                                  params.eta, types=types))
+
+            # refractive lanes: calcForRefractive, identical to the MIS mode
+            tir = samp.tir
+            wi_tir = reflect(wo, hit.ns).normalized(1e-20)
+            flip_r = wo.dot(hit.ng) < 0.0
+            i_ns = vwhere(flip_r, -hit.ns, hit.ns)
+            eta_pass = jnp.where(flip_r & (params.mtype == MICROFACET_T) & tir,
+                                 params.eta, eta_scene)
+            h_tir = (wo + wi_tir).normalized(1e-20)
+            cos_h = jnp.abs(i_ns.dot(h_tir))
+            pdf_tir_mt = d_ndf(h_tir, i_ns, params.roughness) * cos_h / \
+                jnp.maximum(4.0 * wo.dot(h_tir), 1e-20)
+            pdf_tir = jnp.where(params.mtype == MICROFACET_T, pdf_tir_mt, 1.0)
+            wi = vwhere(refr & tir, wi_tir, wi)
+            mat_pdf = jnp.where(refr & tir, sg(pdf_tir), mat_pdf)
+            eta_for_eval = jnp.where(refr, eta_pass, eta_scene)
+            eta_for_eval = jnp.where(refr & ~tir, eta_scene, eta_for_eval)
+            f_r = bxdf_eval(params, wi, wo, hit.ng, hit.ns, eta_for_eval,
+                            adjoint=False, tir=refr & tir, types=types)
+
+            # commit dir_illu: a failed RR draw or a failed BSDF sample
+            # returns sampleValue=0 BEFORE dir_illu is added — the reference
+            # quirk that Russian roulette kills the already-computed direct
+            # light too (PathTracing.hpp:317-327)
+            commit = dir_live & rr_survive & samp.success
+            L = L + vwhere(commit, w * dir_illu, z3)
+
+            # ---- per-case continuation weights
+            inv_pdf = jnp.where(mat_pdf >= MIN_DIVISOR,
+                                1.0 / jnp.maximum(mat_pdf, 1e-20), 0.0)
+            #   mirror: res * f_r * (Ng.wi signed) / pdf, no RR, no divisor
+            #   gate (calcForMirror:60-66); pdf is 1 for the delta mirror
+            cos_mirror = hit.ng.dot(wi)
+            w_mirror = w * f_r * (cos_mirror / jnp.maximum(mat_pdf, 1e-20))
+            #   refractive: Li * cos * f_r / pdf with pdf >= MIN_DIVISOR
+            cos_refr = jnp.abs(hit.ng.dot(wi))
+            w_refr = w * f_r * (cos_refr * inv_pdf)
+            #   indirect: coe = f_r * |Ns.wi| / (pdf * rr_prob), gated by
+            #   pdf*rr_prob >= MIN_DIVISOR (hpp:335-343)
+            cos_ind = jnp.abs(hit.ns.dot(wi))
+            pdf_rr = mat_pdf * rr_prob
+            inv_pdf_rr = jnp.where(pdf_rr >= MIN_DIVISOR,
+                                   1.0 / jnp.maximum(pdf_rr, 1e-20), 0.0)
+            coe = f_r * (cos_ind * inv_pdf_rr)
+
+            new_from = jnp.where(refr, FROM_REFRACT,
+                                 jnp.where(mirror, FROM_MIRROR, FROM_INDIRECT))
+            w_next = vwhere(refr, w_refr, vwhere(mirror, w_mirror, w * coe))
+            #   mirror and refractive recursions reset tp to 1
+            #   (calcForMirror:65, calcForRefractive:130)
+            tp_next = vwhere(diff, tp_eff * coe, Vec3(one, one, one))
+
+            alive_next = alive & jnp.where(
+                refr, mat_pdf >= MIN_DIVISOR,
+                jnp.where(mirror, True,
+                          rr_survive & samp.success & (pdf_rr >= MIN_DIVISOR)))
+
+            #   ray origins: indirect offsets along ±Ng (hpp:331-333),
+            #   refractive along ±Ns (calcForRefractive:118-126), mirror
+            #   always +Ns (calcForMirror:57)
+            ray_o_diff = hit.pos + vwhere(wi.dot(hit.ng) < 0.0,
+                                          -hit.ng, hit.ng) * EPSILON
+            ray_o_refr = hit.pos + vwhere(wi.dot(hit.ns) < 0.0,
+                                          -hit.ns, hit.ns) * EPSILON
+            ray_o_mirr = hit.pos + hit.ns * EPSILON
+            ray_o = vwhere(refr, ray_o_refr,
+                           vwhere(mirror, ray_o_mirr, ray_o_diff))
+
+            new_state = dict(
+                o=ray_o, d=wi, L=L, w=w_next, tp=tp_next,
+                alive=alive_next, from_kind=new_from,
+                lane=state['lane'],
+            )
+            return new_state, None
+
+        def epilogue(state):        # noqa: F811 — NEE-mode replacement
+            # nothing pays at depth max_depth+1: traceRay returns 0 before
+            # the miss/emissive checks (PathTracing.hpp:140), and the NEE
+            # branch has no pending inline emissive strategy
+            return state['L']
 
     # per-bounce rematerialization for the differentiable path: without it
     # the scan's backward stores every bounce intermediate ([N]-wide hit
