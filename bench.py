@@ -1,9 +1,27 @@
-"""Benchmark: Cornell box path-tracing throughput on one chip.
+"""Benchmark suite on one chip: Cornell fwd + fwd/bwd, Veach BDPT, and a
+100k-triangle large scene.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference CPU renderer sustains ~1-2 M rays/s on the whole
-20-thread machine for this scene (BASELINE.md); we report measured rays/s
-on one TPU chip (primary + NEE shadow rays actually traced).
+Prints ONE JSON line whose headline metric is Cornell-box path-tracing
+forward throughput (the BASELINE.md target: >50 M rays/s/chip vs the
+reference CPU's ~1-2 M rays/s on 20 threads); the other measurements ride
+in the ``extras`` field:
+
+- cornell_fwdbwd_rays_per_sec: forward+backward (jax.grad through the
+  differentiable renderer, grad.py) at the same resolution — rays counted
+  are the FORWARD rays of the differentiated render, so the number is
+  directly comparable to the forward line.
+- veach_bdpt_mpaths_per_sec: the flagship bidirectional scene
+  (src/main.cpp:24-86) in Mpaths/s (pixel samples/s); BDPT traces ~2
+  subpaths + ~27 batched connection shadow rays per path so a rays/s
+  figure would not be comparable to PT's.
+- sphere_100k_rays_per_sec: models/scenes.py sphere_showcase (~100k
+  triangles) through the Pallas cluster-culling intersector — the
+  large-scene scaling claim of the SURVEY "hard parts".
+
+Ray accounting is per-scene HONEST: live-lane fractions per bounce are
+measured on-device with trace_rays(collect_alive=True) (2 rays per live
+bounce: scene intersection + NEE shadow; +1 epilogue intersection for
+pending emissive-hit lanes), not assumed.
 """
 from __future__ import annotations
 
@@ -12,58 +30,142 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
-# measured live-lane fraction entering each bounce on Cornell (instrumented
-# run, see golden/microbench.py methodology): the honest per-path ray count
-CORNELL_ALIVE = (1.0, 0.854, 0.608, 0.489, 0.399, 0.337, 0.186)
-CORNELL_EPILOGUE = 0.098
-# compaction measured SLOWER on this chip (1M-lane gather/nonzero cost
-# exceeds the dead-lane savings): disabled for the benchmark; the
-# feature remains available via RenderOptions.compaction
-CORNELL_COMPACTION = ()
+def _probe_alive_fractions(scene, cam, opts, seed=0, max_lanes=1 << 18):
+    """Measured live-lane fraction entering each bounce + final pending
+    fraction, subsampling the frame to <= max_lanes lanes."""
+    from tuturenderer_tpu.camera import primary_ray
+    from tuturenderer_tpu.integrators.path import trace_rays
+
+    n = cam.n_pixels
+    step = max(1, n // max_lanes)
+    lane = jnp.arange(0, n, step, dtype=jnp.int32)
+    px = lane % cam.width
+    py = lane // cam.width
+    o, d, _ = primary_ray(cam, px, py)
+
+    @jax.jit
+    def probe(o, d):
+        _, counts = trace_rays(scene, cam, o, d, lane, 0, seed, opts,
+                               collect_alive=True)
+        return counts
+
+    counts = np.asarray(jax.block_until_ready(probe(o, d)))
+    return counts / float(lane.shape[0])
 
 
-def count_rays(width, height, spp, max_depth):
-    """Rays traced per path: each live bounce does 1 scene intersection +
-    1 NEE shadow ray; the epilogue adds one intersection for pending
-    emissive-hit lanes."""
-    paths = width * height * spp
-    rays_per_path = 2.0 * sum(CORNELL_ALIVE) + CORNELL_EPILOGUE
-    return paths * rays_per_path
+def _rays_per_path(fracs):
+    """2 rays (intersect + NEE shadow) per live bounce, 1 epilogue
+    intersection for the final pending fraction."""
+    return 2.0 * float(fracs[:-1].sum()) + float(fracs[-1])
 
 
-def main():
+def _timed(fn, *args, reps=1):
+    out = jax.block_until_ready(fn(*args))        # compile
+    t0 = time.time()
+    for _ in range(reps):
+        out = jax.block_until_ready(fn(*args))
+    return (time.time() - t0) / reps, out
+
+
+def bench_cornell_fwd(width=1024, height=1024, spp=64):
     from tuturenderer_tpu.integrators.path import render
     from tuturenderer_tpu.options import RenderOptions
     from tuturenderer_tpu.scene.presets import cornell_box
 
-    width = height = 1024
-    spp = 64
     scene, cam = cornell_box(width=width, height=height)
     opts = RenderOptions(spp=spp)
+    fracs = _probe_alive_fractions(scene, cam, opts)
+    dt, img = _timed(lambda s: render(scene, cam, opts, s), 1)
+    rays = width * height * spp * _rays_per_path(fracs)
+    arr = np.asarray(img)
+    print(f"# cornell fwd wall={dt:.3f}s spp={spp} mean={arr.mean():.4f} "
+          f"nan={np.isnan(arr).sum()} fracs={np.round(fracs, 3).tolist()}",
+          file=sys.stderr)
+    return rays / dt, fracs
 
-    # compile
-    img = jax.block_until_ready(render(scene, cam, opts, 0))
-    # timed run
-    t0 = time.time()
-    img = jax.block_until_ready(render(scene, cam, opts, 1))
-    dt = time.time() - t0
 
-    rays = count_rays(width, height, spp, opts.max_depth)
-    rays_per_s = rays / dt
+def bench_cornell_fwdbwd(fracs, width=1024, height=1024, spp=8):
+    from tuturenderer_tpu.grad import get_params, render_diff
+    from tuturenderer_tpu.options import RenderOptions
+    from tuturenderer_tpu.scene.presets import cornell_box
+
+    scene, cam = cornell_box(width=width, height=height)
+    opts = RenderOptions(spp=spp)
+    params = get_params(scene)
+
+    @jax.jit
+    def loss_grad(p, seed):
+        return jax.grad(
+            lambda q: jnp.mean(render_diff(q, scene, cam, opts, seed)))(p)
+
+    dt, g = _timed(lambda s: loss_grad(params, s), 1)
+    leaf0 = np.asarray(jax.tree.flatten(g)[0][0])
+    print(f"# cornell fwd+bwd wall={dt:.3f}s spp={spp} "
+          f"grad[0]={leaf0.tolist()}", file=sys.stderr)
+    rays = width * height * spp * _rays_per_path(fracs)
+    return rays / dt
+
+
+def bench_veach_bdpt(width=400, height=300, spp=8):
+    from tuturenderer_tpu.integrators.bdpt import render
+    from tuturenderer_tpu.options import RenderOptions
+    from tuturenderer_tpu.scene.presets import veach_bdpt
+
+    scene, cam = veach_bdpt(width=width, height=height)
+    opts = RenderOptions(spp=spp)
+    dt, img = _timed(lambda s: render(scene, cam, opts, s), 1)
+    arr = np.asarray(img)
+    print(f"# veach bdpt wall={dt:.3f}s spp={spp} mean={arr.mean():.4f} "
+          f"nan={np.isnan(arr).sum()}", file=sys.stderr)
+    return width * height * spp / dt / 1e6
+
+
+def bench_sphere_100k(width=512, height=512, spp=16):
+    from tuturenderer_tpu.integrators.path import render
+    from tuturenderer_tpu.models.scenes import sphere_showcase
+    from tuturenderer_tpu.options import RenderOptions
+
+    scene, cam = sphere_showcase(width=width, height=height)
+    opts = RenderOptions(spp=spp)
+    fracs = _probe_alive_fractions(scene, cam, opts)
+    dt, img = _timed(lambda s: render(scene, cam, opts, s), 1)
+    rays = width * height * spp * _rays_per_path(fracs)
+    arr = np.asarray(img)
+    print(f"# sphere_100k ({scene.n_tris} tris) wall={dt:.3f}s spp={spp} "
+          f"mean={arr.mean():.4f} fracs={np.round(fracs, 3).tolist()}",
+          file=sys.stderr)
+    return rays / dt
+
+
+def main():
+    fwd_rays_s, fracs = bench_cornell_fwd()
+    extras = {}
+    try:
+        extras["cornell_fwdbwd_rays_per_sec"] = round(
+            bench_cornell_fwdbwd(fracs), 0)
+    except Exception as e:          # keep the headline alive
+        print(f"# fwd+bwd bench failed: {e!r}", file=sys.stderr)
+    try:
+        extras["veach_bdpt_mpaths_per_sec"] = round(bench_veach_bdpt(), 3)
+    except Exception as e:
+        print(f"# veach bdpt bench failed: {e!r}", file=sys.stderr)
+    try:
+        extras["sphere_100k_rays_per_sec"] = round(bench_sphere_100k(), 0)
+    except Exception as e:
+        print(f"# sphere_100k bench failed: {e!r}", file=sys.stderr)
+
     baseline_rays_per_s = 1.5e6   # midpoint of BASELINE.md 1-2 M rays/s
     print(json.dumps({
         "metric": "cornell_1024_rays_per_sec",
-        "value": round(rays_per_s, 0),
+        "value": round(fwd_rays_s, 0),
         "unit": "rays/s/chip",
-        "vs_baseline": round(rays_per_s / baseline_rays_per_s, 2),
+        "vs_baseline": round(fwd_rays_s / baseline_rays_per_s, 2),
+        "extras": extras,
     }))
-    # sanity stats on stderr so the JSON line stays clean
-    arr = np.asarray(img)
-    print(f"# wall={dt:.3f}s spp={spp} mean={arr.mean():.4f} "
-          f"nan={np.isnan(arr).sum()}", file=sys.stderr)
 
 
 if __name__ == "__main__":

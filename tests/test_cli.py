@@ -83,3 +83,34 @@ def test_cli_estimator_grid(config_path, tmp_path):
           "--estimator-grid", "-o", out])
     img = _read_ppm(out)
     assert img.shape == (32, 32, 3)
+
+
+def test_progressive_matches_single_shot_all_integrators(tmp_path):
+    """render_progressive in chunks must reproduce the single-shot render
+    bit-near for EVERY integrator (counter-based RNG keyed by the global
+    sample index via sample_base; light tracing checkpoints its raw
+    accumulators so the max-combined direct pane also resumes exactly)."""
+    from tests.test_grad import diffuse_box
+    from tuturenderer_tpu.options import RenderOptions
+    from tuturenderer_tpu.render import render_image, render_progressive
+
+    scene, cam = diffuse_box(16)
+    for integrator, opts in [
+        ("path", RenderOptions(spp=4, max_depth=2)),
+        ("naivept", RenderOptions(spp=4, lt_max_depth=2)),
+        ("light", RenderOptions(spp=4, lt_max_depth=2)),
+        ("bdpt", RenderOptions(spp=4, bdpt_max_path_length=3)),
+    ]:
+        one = render_image(scene, cam, opts, integrator, seed=5)
+        ck = str(tmp_path / f"{integrator}.npz")
+        prog = render_progressive(scene, cam, opts, integrator, seed=5,
+                                  chunk_spp=2, checkpoint_path=ck,
+                                  progress=False)
+        np.testing.assert_allclose(prog, one, rtol=2e-4, atol=2e-6,
+                                   err_msg=integrator)
+        # resume from the finished checkpoint: no new work, same film
+        prog2 = render_progressive(scene, cam, opts, integrator, seed=5,
+                                   chunk_spp=2, checkpoint_path=ck,
+                                   progress=False)
+        np.testing.assert_allclose(prog2, prog, rtol=1e-6, atol=1e-8,
+                                   err_msg=integrator)

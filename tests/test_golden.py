@@ -51,3 +51,35 @@ def test_cornell_matches_reference_golden():
         f"max block diff {np.abs(g8 - o8).max():.4f}"
     assert np.abs(golden - ours).mean() < 0.035
     assert abs(golden.mean() - ours.mean()) < 0.01
+
+
+def test_veach_bdpt_matches_reference_golden():
+    """The flagship BDPT scene (src/main.cpp:24-86, README.md:112-116):
+    two area lights + perfect dielectric + GGX lamp, rendered with the
+    bidirectional integrator and compared against the reference oracle
+    at 160x120 / 64 spp (golden/veach_160.txt)."""
+    from tuturenderer_tpu.io.ppm import read_ppm
+    from tuturenderer_tpu.integrators.bdpt import render
+    from tuturenderer_tpu.options import RenderOptions
+    from tuturenderer_tpu.scene.presets import veach_bdpt
+
+    path = os.path.join(GOLDEN_DIR, "veach_160.ppm")
+    if not os.path.exists(path):
+        pytest.skip("golden not generated")
+    golden = read_ppm(path)
+
+    scene, cam = veach_bdpt(width=160, height=120)
+    img = np.asarray(render(scene, cam, RenderOptions(spp=64), seed=7))
+    ours = np.clip(img, 0.0, 1.0) ** 0.78
+
+    g8 = block_mean(golden, 8)     # 20x15 blocks of 8x8
+    o8 = block_mean(ours, 8)
+    # BDPT at 64 spp is noisier than PT (firefly-prone t=1 splats near the
+    # very bright small light, emission ~3500); thresholds sized to ~1.5x
+    # the measured TPU-vs-oracle differences at seed 7
+    assert np.abs(g8 - o8).max() < 0.12, \
+        f"max block diff {np.abs(g8 - o8).max():.4f}"
+    assert np.abs(golden - ours).mean() < 0.05, \
+        f"mean abs diff {np.abs(golden - ours).mean():.4f}"
+    assert abs(golden.mean() - ours.mean()) < 0.02, \
+        f"mean diff {abs(golden.mean() - ours.mean()):.4f}"

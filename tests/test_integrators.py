@@ -42,6 +42,93 @@ def test_pt_vs_bdpt_mean():
     assert bd.mean() < pt.mean()   # the kill only ever loses energy
 
 
+def test_pt_vs_bdpt_parity_quirks_off():
+    """With tutu_bdpt_weight_kill=False the MIS weights are an exact
+    partition of unity (test_bdpt_mis.py), with tutu_bdpt_t1_gate=False
+    light paths splat regardless of the lane's primary hit, and with
+    ref_grid=False the eye-ray and raster grids agree (the reference's
+    span/(w-1) eye grid makes splat strategies (w/(w-1))^2 hot at test
+    resolutions, camera.py:make_camera). The remaining PT-vs-BDPT gap is
+    PT's OWN energy loss: the reference PT kills the whole sample when
+    r2*light_pdf, mat_pdf, or mat_pdf*rr < MIN_DIVISOR
+    (PathTracing.hpp:215, 259, 273 'return sampleValue'), discarding ~2-3%
+    of transport by design; BDPT's connection strategies recover most of
+    it (the reference README itself rates its BDPT '95% similar' to PT).
+    So: BDPT must sit AT OR ABOVE PT, within 4%."""
+    from tuturenderer_tpu.camera import make_camera
+    from tuturenderer_tpu.integrators.bdpt import render as rb
+    from tuturenderer_tpu.integrators.path import render as rp
+    from tuturenderer_tpu.options import RenderOptions
+
+    scene, _ = _scene()
+    cam = make_camera(48, 48, 60, eye=(0, 0, -3.2), viewdir=(0, 0, 1),
+                      updir=(0, 1, 0), ref_grid=False)
+    pt = np.asarray(rp(scene, cam, RenderOptions(spp=64, max_depth=4), 1))
+    bd = np.asarray(rb(scene, cam,
+                       RenderOptions(spp=64, bdpt_max_path_length=6,
+                                     tutu_bdpt_weight_kill=False,
+                                     tutu_bdpt_t1_gate=False), 2))
+    assert np.isfinite(pt).all() and np.isfinite(bd).all()
+    rel = (bd.mean() - pt.mean()) / pt.mean()
+    # measured +2.4-3.1% across seeds/resolutions (PT's kill loss)
+    assert 0.0 < rel < 0.04, \
+        f"pt={pt.mean():.4f} bdpt={bd.mean():.4f} rel={rel:+.4f}"
+
+
+def test_bdpt_unweighted_strategies_agree():
+    """Every unweighted (s,t) strategy at the same path length estimates
+    the SAME transport integral — the foundation MIS rests on. With the
+    quirks off (no weight kill, no t=1 gate, consistent grid) the three
+    L=2 families must agree within MC noise. This is the test that caught
+    the t=1 hit-fraction bug and the span/(w-1) grid mismatch.
+
+    Comparison is over interior pixels only: eye strategies point-sample
+    pixel centers while t=1 splats area-integrate the pixel footprint, so
+    silhouette pixels (partial geometry coverage) legitimately differ at
+    low resolution — that is aliasing, not estimator bias."""
+    from tuturenderer_tpu.camera import make_camera
+    from tuturenderer_tpu.integrators.bdpt import render as rb
+    from tuturenderer_tpu.options import RenderOptions
+
+    scene, _ = _scene()
+    cam = make_camera(24, 24, 60, eye=(0, 0, -3.2), viewdir=(0, 0, 1),
+                      updir=(0, 1, 0), ref_grid=False)
+    imgs = []
+    for s in (0, 1, 2):
+        img = np.asarray(rb(scene, cam, RenderOptions(
+            spp=512, bdpt_max_path_length=2, bdpt_s_filter=s,
+            bdpt_t_filter=3 - s, bdpt_unweighted=True,
+            tutu_bdpt_weight_kill=False, tutu_bdpt_t1_gate=False), 11))
+        imgs.append(img.mean(-1))
+    # interior mask: support of the NEE image eroded by one pixel
+    sup = imgs[1] > 0.02
+    er = sup.copy()
+    for ax, sh in ((0, 1), (0, -1), (1, 1), (1, -1)):
+        er = er & np.roll(sup, sh, axis=ax)
+    er[0, :] = er[-1, :] = er[:, 0] = er[:, -1] = False
+    assert er.sum() > 50
+    means = [im[er].mean() for im in imgs]
+    lo, hi = min(means), max(means)
+    assert (hi - lo) / lo < 0.06, f"interior strategy means diverge: {means}"
+
+
+def test_bdpt_t1_gate_quirk_scales_with_hit_fraction():
+    """The tutu_bdpt_t1_gate quirk (BDPT.hpp:733-734 primary-miss break)
+    must scale the isolated t=1 strategy by the primary-hit fraction of
+    the open test box (~0.4 of the frame hits geometry)."""
+    from tuturenderer_tpu.integrators.bdpt import render as rb
+    from tuturenderer_tpu.options import RenderOptions
+
+    scene, cam = _scene()
+    base = dict(spp=64, bdpt_max_path_length=2, bdpt_s_filter=2,
+                bdpt_t_filter=1, bdpt_unweighted=True)
+    gated = np.asarray(rb(scene, cam, RenderOptions(**base), 9))
+    free = np.asarray(rb(scene, cam,
+                         RenderOptions(tutu_bdpt_t1_gate=False, **base), 9))
+    ratio = gated.mean() / free.mean()
+    assert 0.3 < ratio < 0.55, f"gated/free = {ratio:.3f}"
+
+
 def test_pt_vs_naive_direct_light():
     """With a 2-vertex walk, naive PT sees exactly the directly visible
     emitter; PT's direct term must agree on those pixels."""

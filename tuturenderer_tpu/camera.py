@@ -90,9 +90,20 @@ class Camera:
 
 
 def make_camera(width: int, height: int, hfov: float, eye, viewdir, updir,
-                parallel_projection: bool = False) -> Camera:
+                parallel_projection: bool = False,
+                ref_grid: bool = True) -> Camera:
     """Host-side camera construction (Camera.hpp:12-48 + plane setup
-    PathTracing.hpp:357-391)."""
+    PathTracing.hpp:357-391).
+
+    ``ref_grid=True`` (default) reproduces the reference's pixel grid:
+    eye-ray centers step (ur-ul)/(width-1) (PathTracing.hpp:381-383) while
+    the raster/splat chain divides the same span into ``width`` pixels —
+    two INCONSISTENT grids, so pixel-center rays project to raster
+    x*(w/(w-1)) and splat-based estimators (light tracing, BDPT t=1) run
+    ~(w/(w-1))^2 hot relative to eye-path estimators. Invisible at the
+    reference's real resolutions (<=0.3% at 800x600), several percent at
+    small test resolutions. ``ref_grid=False`` steps span/width so both
+    grids agree exactly (pixel x center -> raster x + 0.5)."""
     eye = np.asarray(eye, np.float64)
     fwd = _normalized(np.asarray(viewdir, np.float64))
     up_in = np.asarray(updir, np.float64)
@@ -132,8 +143,12 @@ def make_camera(width: int, height: int, hfov: float, eye, viewdir, updir,
     ul = eye + d_plane * fwd - width_half * right + height_half * up
     ur = eye + d_plane * fwd + width_half * right + height_half * up
     ll = eye + d_plane * fwd - width_half * right - height_half * up
-    dh = (ur - ul) / (width - 1) if width != 1 else np.zeros(3)
-    dv = (ll - ul) / (height - 1) if height != 1 else np.zeros(3)
+    if ref_grid:
+        dh = (ur - ul) / (width - 1) if width != 1 else np.zeros(3)
+        dv = (ll - ul) / (height - 1) if height != 1 else np.zeros(3)
+    else:
+        dh = (ur - ul) / width
+        dv = (ll - ul) / height
     c_off = (ur - ul) / (2.0 * width) + (ll - ul) / (2.0 * height)
 
     f32 = lambda a: vec3(*np.asarray(a, np.float32))

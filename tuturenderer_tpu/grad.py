@@ -7,8 +7,11 @@ supports detached-sampling autodiff (opts.differentiable=True): sampled
 directions, pdfs, Russian-roulette probabilities and MIS weights are
 treated as piecewise-constant, so reverse-mode AD through the bounce scan
 yields the standard detached path-replay gradient — exact for parameters
-the sampler does not importance-sample (albedo, emission) and the
-accepted low-bias estimate for roughness/metallic.
+the sampler does not importance-sample (albedo, emission; also roughness/
+metallic under the NEE-only estimator and metallic under full MIS, all
+FD-validated in tests/test_grad.py) and a low-bias estimate for roughness
+under full MIS (the GGX half-vector sampler consumes roughness; measured
+bias below MC noise at 16 seeds x 16 spp — see tests/test_grad.py).
 """
 from __future__ import annotations
 

@@ -25,6 +25,12 @@ Deviation (documented): the reference's threaded s=0 UNLIT special case
 reads a stale loop variable (BDPT.hpp:767-770) and adds the diffuse color
 once per strategy; here an UNLIT first hit contributes its diffuse exactly
 once.
+
+Quirk knobs (options.py): ``tutu_bdpt_weight_kill`` reproduces the
+small-MIS-weight zeroing (BDPT.hpp:218-219); ``tutu_bdpt_t1_gate``
+reproduces the primary-miss SPP-loop break (BDPT.hpp:733-734) that scales
+the t=1 splat contribution by the scene's primary-hit fraction. With both
+off, BDPT matches PT to Monte-Carlo noise (test_integrators.py).
 """
 from __future__ import annotations
 
@@ -116,7 +122,8 @@ def _walk(scene, cam, o, d, tp0: Vec3, lane, sample_idx, seed, opts,
         wo = -state_d
 
         samp = bxdf_sample(params, wo, hit.ns, u(u0t), u(u1t), u(lott),
-                           eta_scene, opts.ggx_sample_bug)
+                           eta_scene, opts.ggx_sample_bug,
+                           types=scene.mtype_set)
         wi = samp.wi
         dir_pdf = bxdf_pdf(params, wi, wo, hit.ns, eta_scene, params.eta, types=scene.mtype_set)
         tir = samp.tir
@@ -243,9 +250,12 @@ def _proj_pdf(params: MatParams, wi: Vec3, wo: Vec3, ns: Vec3, ng: Vec3,
     return p / jnp.maximum(jnp.abs(wi.dot(ng)), 1e-20)
 
 
-def mis_weight(scene, cam: Camera, ep, lp, s: int, t: int, eta_scene):
+def mis_weight(scene, cam: Camera, ep, lp, s: int, t: int, eta_scene,
+               weight_kill: bool = True):
     """Power-heuristic MIS weight for strategy (s,t) — BDPT.hpp:70-222,
-    fully unrolled for static s,t."""
+    fully unrolled for static s,t. ``weight_kill`` reproduces the
+    reference's small-weight zeroing (BDPT.hpp:218-219); off, only
+    NaN/inf weights are killed and the weights partition unity exactly."""
     n = ep[0]['valid'].shape[0]
     if s + t == 2:
         return jnp.ones((n,))
@@ -342,7 +352,9 @@ def mis_weight(scene, cam: Camera, ep, lp, s: int, t: int, eta_scene):
         denom = denom + jnp.where(skip, 0.0, p * p)
 
     w = 1.0 / denom
-    bad = (w < MIN_DIVISOR) | jnp.isnan(w) | jnp.isinf(w)
+    bad = jnp.isnan(w) | jnp.isinf(w)
+    if weight_kill:
+        bad = bad | (w < MIN_DIVISOR)
     return jnp.where(bad, 0.0, w)
 
 
@@ -425,7 +437,8 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
                 ev['light_pick_pdf'] = light_pdf_of_hit_params(scene, ev)
                 ep_mod = list(ep)
                 ep_mod[t - 1] = ev
-                w = strategy_weight(mis_weight(scene, cam, ep_mod, lp, s, t, eta_scene))
+                w = strategy_weight(mis_weight(scene, cam, ep_mod, lp, s, t, eta_scene,
+                                               opts.tutu_bdpt_weight_kill))
                 estimate = estimate + vwhere(ok, contrib * w, _zeros3(n))
                 continue
 
@@ -436,9 +449,13 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
                 if s == 1:
                     continue
                 lv = lp[s - 1]
-                # the reference skips all strategies when the eye path has
-                # fewer than 2 vertices (BDPT.hpp:750-751)
-                ok = lv['valid'] & ep[1]['valid'] & ~lv['params'].emissive
+                # the reference breaks the whole SPP loop when the primary
+                # ray misses (BDPT.hpp:733-734), dropping the lane's light
+                # path and its t=1 splats with it — a hit-fraction energy
+                # loss in open scenes (see options.tutu_bdpt_t1_gate)
+                ok = lv['valid'] & ~lv['params'].emissive
+                if opts.tutu_bdpt_t1_gate:
+                    ok = ok & ep[1]['valid']
                 orig = lv['pos']
                 wi = (Vec3(cam.position.x - orig.x, cam.position.y - orig.y,
                            cam.position.z - orig.z)).normalized(1e-20)
@@ -454,7 +471,8 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
                 g = geo(cam.position, cam.fwd, lv['pos'], lv['ng'])
                 we_v, idx = importance_we(cam, lv['pos'])
                 contrib = l_emission * bsdf * lv['tp'] * (g * we_v / opts.spp)
-                w = strategy_weight(mis_weight(scene, cam, ep, lp, s, t, eta_scene))
+                w = strategy_weight(mis_weight(scene, cam, ep, lp, s, t, eta_scene,
+                                                    opts.tutu_bdpt_weight_kill))
                 ls_ns = lv['ns'] if s > 1 else lv['ng']
                 oo = lv['pos'] + vwhere(inside, -ls_ns, ls_ns) * EPSILON
                 toc = Vec3(cam.position.x - oo.x, cam.position.y - oo.y,
@@ -506,7 +524,8 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
                 l_emission * (g * we_pix)
             zero_c = (contrib.x == 0) & (contrib.y == 0) & (contrib.z == 0)
             ok = ok & ~zero_c
-            w = strategy_weight(mis_weight(scene, cam, ep, lp, s, t, eta_scene))
+            w = strategy_weight(mis_weight(scene, cam, ep, lp, s, t, eta_scene,
+                                                    opts.tutu_bdpt_weight_kill))
             pending.append(dict(kind='est', ok=ok, q=q, rgb=contrib * w))
 
     # ---- batched any-hit pass over every queued connection shadow ray
@@ -539,7 +558,9 @@ def light_pdf_of_hit_params(scene, v):
 
 
 @partial(jax.jit, static_argnames=("opts",))
-def render(scene, cam: Camera, opts: RenderOptions, seed=0):
+def render(scene, cam: Camera, opts: RenderOptions, seed=0, sample_base=0):
+    """``sample_base`` shifts the global sample indices (counter-based RNG)
+    so chunked/progressive renders continue the exact stream."""
     p = cam.n_pixels
     lane = jnp.arange(p, dtype=jnp.int32)
     px = lane % cam.width
@@ -548,8 +569,8 @@ def render(scene, cam: Camera, opts: RenderOptions, seed=0):
 
     def body(s, acc):
         fr, fg, fb = acc
-        est, sidx, srgb = render_sample_bdpt(scene, cam, px, py, lane, s,
-                                             seed, opts)
+        est, sidx, srgb = render_sample_bdpt(scene, cam, px, py, lane,
+                                             sample_base + s, seed, opts)
         fr = fr + est.x * spp_inv
         fg = fg + est.y * spp_inv
         fb = fb + est.z * spp_inv

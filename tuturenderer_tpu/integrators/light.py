@@ -116,7 +116,8 @@ def trace_sample(scene, cam: Camera, lane, sample_idx, seed,
         # sample continuation with adjoint BSDF (LightTracing.hpp:152-178)
         samp = bxdf_sample(params, wo, hit.ns, u(s, rng.BSDF_U0),
                            u(s, rng.BSDF_U1), u(s, rng.BSDF_LOTTERY),
-                           eta_scene, opts.ggx_sample_bug)
+                           eta_scene, opts.ggx_sample_bug,
+                           types=scene.mtype_set)
         nwi = samp.wi
         pdf = bxdf_pdf(params, nwi, wo, hit.ns, eta_scene, params.eta, types=scene.mtype_set)
         tir = samp.tir
@@ -187,45 +188,70 @@ def raster_roundtrip_error(scene, cam: Camera):
     return jnp.sum(mism) / n_hit
 
 
-@partial(jax.jit, static_argnames=("opts",))
-def render(scene, cam: Camera, opts: RenderOptions, seed=0):
+@partial(jax.jit, static_argnames=("opts", "return_parts"))
+def render(scene, cam: Camera, opts: RenderOptions, seed=0, sample_base=0,
+           return_parts: bool = False):
+    """``sample_base`` shifts the global sample indices (counter-based RNG)
+    so chunked/progressive renders continue the exact stream.
+    ``return_parts=True`` returns the raw accumulators
+    (splat_sum [H,W,3], direct_max_unscaled [H,W,3], dmask [H,W]) instead
+    of the composed image, so a progressive driver can max-combine direct
+    splats and sum connection splats across chunks exactly."""
     p = cam.n_pixels
     lane = jnp.arange(p, dtype=jnp.int32)
-    spp_inv = 1.0 / opts.spp
 
     def body(s, carry):
         fr, fg, fb, dr, dg, db, dmask = carry
         idx_list, rgb_list, didx, drgb = trace_sample(
-            scene, cam, lane, s, seed, opts)
+            scene, cam, lane, sample_base + s, seed, opts)
         # direct visible-light splat: the reference's setRGB overwrite is
         # write-order-arbitrary when samples hit the same pixel with
         # different light points (LightTracing.hpp:121); we use channel
-        # max-combining instead — deterministic and shard-invariant
+        # max-combining instead — deterministic and shard-invariant.
+        # The max is over the RAW per-sample value; the reference's
+        # SPP_inv scale (LightTracing.hpp:121) is applied at composition.
         vdid = jnp.where(didx >= 0, didx, p)
-        dr = dr.at[vdid].max(drgb.x * spp_inv, mode='drop')
-        dg = dg.at[vdid].max(drgb.y * spp_inv, mode='drop')
-        db = db.at[vdid].max(drgb.z * spp_inv, mode='drop')
+        dr = dr.at[vdid].max(drgb.x, mode='drop')
+        dg = dg.at[vdid].max(drgb.y, mode='drop')
+        db = db.at[vdid].max(drgb.z, mode='drop')
         dmask = dmask.at[vdid].set(True, mode='drop')
-        # vertex-connection splats: addRGB accumulate
+        # vertex-connection splats: addRGB accumulate (raw sums)
         for i, (idx, rgb) in enumerate(zip(idx_list, rgb_list)):
             if i == 0:
                 continue
             vidx = jnp.where(idx >= 0, idx, p)
-            fr = fr.at[vidx].add(rgb.x * spp_inv, mode='drop')
-            fg = fg.at[vidx].add(rgb.y * spp_inv, mode='drop')
-            fb = fb.at[vidx].add(rgb.z * spp_inv, mode='drop')
+            fr = fr.at[vidx].add(rgb.x, mode='drop')
+            fg = fg.at[vidx].add(rgb.y, mode='drop')
+            fb = fb.at[vidx].add(rgb.z, mode='drop')
         return fr, fg, fb, dr, dg, db, dmask
 
     zeros = jnp.zeros((p,), jnp.float32)
     fmask = jnp.zeros((p,), bool)
     fr, fg, fb, dr, dg, db, dmask = jax.lax.fori_loop(
         0, opts.spp, body, (zeros, zeros, zeros, zeros, zeros, zeros, fmask))
-    # film = bkg where nothing written, direct-light overwrite + splats
+    hw = (cam.height, cam.width)
+    if return_parts:
+        splat = jnp.stack([fr, fg, fb], axis=-1).reshape(*hw, 3)
+        direct = jnp.stack([dr, dg, db], axis=-1).reshape(*hw, 3)
+        return splat, direct, dmask.reshape(*hw)
+    return compose_light_film(
+        scene, cam,
+        jnp.stack([fr, fg, fb], axis=-1).reshape(*hw, 3),
+        jnp.stack([dr, dg, db], axis=-1).reshape(*hw, 3),
+        dmask.reshape(*hw), opts.spp)
+
+
+def compose_light_film(scene, cam: Camera, splat_sum, direct_max, dmask,
+                       total_spp):
+    """Compose the light-tracing film from raw accumulators: background
+    where nothing wrote, SPP_inv-scaled direct overwrite + averaged
+    connection splats (LightTracing.hpp:116-122, 181-200)."""
+    spp_inv = 1.0 / total_spp
     bkg = scene.bkgcolor
-    r = jnp.where(dmask, dr, bkg.x) + fr
-    g = jnp.where(dmask, dg, bkg.y) + fg
-    b = jnp.where(dmask, db, bkg.z) + fb
-    img = jnp.stack([r, g, b], axis=-1)
-    bad = jnp.isnan(img)
-    img = jnp.where(bad, 0.0, img)
-    return img.reshape(cam.height, cam.width, 3)
+    bkg_img = jnp.stack([jnp.zeros_like(dmask, jnp.float32) + bkg.x,
+                         jnp.zeros_like(dmask, jnp.float32) + bkg.y,
+                         jnp.zeros_like(dmask, jnp.float32) + bkg.z],
+                        axis=-1)
+    img = jnp.where(dmask[..., None], direct_max * spp_inv, bkg_img) + \
+        splat_sum * spp_inv
+    return jnp.where(jnp.isnan(img), 0.0, img)

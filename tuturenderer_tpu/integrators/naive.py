@@ -75,7 +75,7 @@ def trace_sample(scene, cam: Camera, px, py, lane, sample_idx, seed,
         wo = -state['d']
         samp = bxdf_sample(params, wo, ng, u(rng.BSDF_U0), u(rng.BSDF_U1),
                            u(rng.BSDF_LOTTERY), eta_scene,
-                           opts.ggx_sample_bug)
+                           opts.ggx_sample_bug, types=scene.mtype_set)
         wi = samp.wi
         pdf = bxdf_pdf(params, wi, wo, ng, eta_scene, params.eta, types=scene.mtype_set)
         tir = samp.tir
@@ -101,14 +101,17 @@ def trace_sample(scene, cam: Camera, px, py, lane, sample_idx, seed,
 
 
 @partial(jax.jit, static_argnames=("opts",))
-def render(scene, cam: Camera, opts: RenderOptions, seed=0):
+def render(scene, cam: Camera, opts: RenderOptions, seed=0, sample_base=0):
+    """``sample_base`` shifts the global sample indices (counter-based RNG)
+    so chunked/progressive renders continue the exact stream."""
     p = cam.n_pixels
     lane = jnp.arange(p, dtype=jnp.int32)
     px = lane % cam.width
     py = lane // cam.width
 
     def body(s, acc):
-        L = trace_sample(scene, cam, px, py, lane, s, seed, opts)
+        L = trace_sample(scene, cam, px, py, lane, sample_base + s, seed,
+                         opts)
         bad = jnp.isnan(L.x) | jnp.isnan(L.y) | jnp.isnan(L.z)
         L = vwhere(bad, _zeros3(p), L)
         return (acc[0] + L.x, acc[1] + L.y, acc[2] + L.z)

@@ -110,9 +110,14 @@ def apply_textures(scene: SceneData, hit, params: MatParams):
 
 
 def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
-               lane, sample_idx, seed, opts: RenderOptions) -> Vec3:
+               lane, sample_idx, seed, opts: RenderOptions,
+               collect_alive: bool = False) -> Vec3:
     """Trace one wavefront of primary rays to completion; returns per-lane
-    radiance (one Monte Carlo sample per lane)."""
+    radiance (one Monte Carlo sample per lane).
+
+    ``collect_alive=True`` (scan path only) additionally returns the live
+    lane count entering each bounce plus the post-loop pending count — the
+    per-scene data behind honest rays/s accounting in bench.py."""
     n = orig.x.shape[0]
     eta_scene = scene.eta
     types = scene.mtype_set
@@ -572,6 +577,15 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
     sched = opts.compaction
     if not sched:
         depths = jnp.arange(opts.max_depth + 1, dtype=jnp.int32)
+        if collect_alive:
+            def counting_body(st, depth):
+                cnt = jnp.sum(st['alive'].astype(jnp.int32))
+                new, _ = bounce_body(st, depth)
+                return new, cnt
+            state, counts = jax.lax.scan(counting_body, state, depths)
+            final = jnp.sum(state['alive'].astype(jnp.int32))
+            return epilogue(state), jnp.concatenate(
+                [counts, final[None]])
         state, _ = jax.lax.scan(bounce_body, state, depths)
         return epilogue(state)
 
@@ -641,15 +655,19 @@ def render_sample(scene: SceneData, cam: Camera, px, py, lane, sample_idx,
 
 
 @partial(jax.jit, static_argnames=("opts",))
-def render(scene: SceneData, cam: Camera, opts: RenderOptions, seed=0):
-    """Full-frame render -> [H, W, 3] linear radiance."""
+def render(scene: SceneData, cam: Camera, opts: RenderOptions, seed=0,
+           sample_base=0):
+    """Full-frame render -> [H, W, 3] linear radiance. ``sample_base``
+    shifts the global sample indices (counter-based RNG) so chunked/
+    progressive renders continue the exact stream."""
     p = cam.n_pixels
     lane = jnp.arange(p, dtype=jnp.int32)
     px = lane % cam.width
     py = lane // cam.width
 
     def body(s, acc):
-        L = render_sample(scene, cam, px, py, lane, s, seed, opts)
+        L = render_sample(scene, cam, px, py, lane, sample_base + s, seed,
+                          opts)
         return (acc[0] + L.x, acc[1] + L.y, acc[2] + L.z)
 
     zeros = jnp.zeros((p,), jnp.float32)

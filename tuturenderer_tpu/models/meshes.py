@@ -53,14 +53,16 @@ def uv_sphere(center=(0.0, 0.0, 0.0), radius: float = 1.0,
         return a[:-1, :-1], a[1:, :-1], a[:-1, 1:], a[1:, 1:]
     p00, p10, p01, p11 = corners(p)
     n00, n10, n01, n11 = corners(n)
+    # wound so the geometric normal points OUTWARD (matches the smooth
+    # per-vertex normals; lat-long tangents du x dv point inward)
     verts = np.concatenate([
-        np.stack([p00, p10, p11], 2).reshape(-1, 3, 3),
-        np.stack([p00, p11, p01], 2).reshape(-1, 3, 3)], 0).astype(np.float32)
+        np.stack([p00, p11, p10], 2).reshape(-1, 3, 3),
+        np.stack([p00, p01, p11], 2).reshape(-1, 3, 3)], 0).astype(np.float32)
     if not smooth:
         return verts, None
     normals = np.concatenate([
-        np.stack([n00, n10, n11], 2).reshape(-1, 3, 3),
-        np.stack([n00, n11, n01], 2).reshape(-1, 3, 3)], 0).astype(np.float32)
+        np.stack([n00, n11, n10], 2).reshape(-1, 3, 3),
+        np.stack([n00, n01, n11], 2).reshape(-1, 3, 3)], 0).astype(np.float32)
     return verts, normals
 
 
@@ -84,7 +86,9 @@ def heightfield(nx: int = 128, nz: int = 128, size: float = 4.0,
     p10 = p[1:, :-1]
     p01 = p[:-1, 1:]
     p11 = p[1:, 1:]
+    # wound so the geometric normal faces +y (up): terrain must be lit
+    # from above under the BSDF sidedness rules
     verts = np.concatenate([
-        np.stack([p00, p10, p11], 2).reshape(-1, 3, 3),
-        np.stack([p00, p11, p01], 2).reshape(-1, 3, 3)], 0).astype(np.float32)
+        np.stack([p00, p11, p10], 2).reshape(-1, 3, 3),
+        np.stack([p00, p01, p11], 2).reshape(-1, 3, 3)], 0).astype(np.float32)
     return verts

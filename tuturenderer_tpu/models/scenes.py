@@ -23,7 +23,9 @@ def sphere_showcase(width: int = 512, height: int = 512,
     verts, normals = uv_sphere(radius=1.0, nu=nu, nv=nv)
     b.add_triangles(verts, normals, None, sphere_mat)
     ground = b.add_material(LAMBERTIAN, diffuse=(0.7, 0.7, 0.7))
-    b.add_triangles(plane((0, -1, 0), (6, 0, 0), (0, 0, 6)), None, None,
+    # axes ordered so u x v = +y: the plane's geometric normal faces UP
+    # (the BSDF sidedness rules make a downward-facing ground black)
+    b.add_triangles(plane((0, -1, 0), (0, 0, 6), (6, 0, 0)), None, None,
                     ground)
     light = b.add_material(LAMBERTIAN, emission=(12.0, 11.0, 10.0))
     b.add_triangles(plane((0, 3, 0), (1, 0, 0), (0, 0, 1)), None, None,

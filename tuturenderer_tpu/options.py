@@ -45,6 +45,19 @@ class RenderOptions:
     tutu_light_pick: bool = False
     tutu_tri_sample: bool = False
     ggx_sample_bug: bool = False
+    # the reference zeroes any BDPT strategy whose MIS weight is below
+    # MIN_DIVISOR (BDPT.hpp:218-219), losing a few % of energy vs PT; with
+    # the knob off the weights form an exact partition of unity and BDPT
+    # agrees with PT to MC noise (tested in test_integrators.py)
+    tutu_bdpt_weight_kill: bool = True
+    # the reference breaks out of the per-pixel SPP loop when the primary
+    # ray misses (BDPT.hpp:733-734), so miss-pixels trace NO light paths;
+    # since every pixel's light path can splat anywhere (t=1), this scales
+    # the t=1 contribution by the scene's primary-hit fraction — invisible
+    # in the reference's closed rooms (hit fraction 1.0), a real energy
+    # loss in open scenes. On (default) = reference behavior; off = light
+    # paths splat regardless of the lane's own eye hit (unbiased).
+    tutu_bdpt_t1_gate: bool = True
     # batching: rays processed per device dispatch (0 = whole frame)
     rays_per_pass: int = 0
     # wavefront compaction: per-bounce live-lane fraction schedule (static).

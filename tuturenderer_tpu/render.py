@@ -52,8 +52,12 @@ def render_progressive(scene: SceneData, cam: Camera, opts: RenderOptions,
     batched accumulation makes periodic film checkpoints trivial: the
     running (film_sum, spp_done) pair is saved to ``checkpoint_path``
     after every chunk and reloaded on restart — elastic recovery the
-    reference cannot do. Counter-based RNG keys samples by global index,
-    so a resumed render is bit-identical to an uninterrupted one.
+    reference cannot do. Counter-based RNG keys samples by global index
+    (every integrator's render() takes a ``sample_base``), so a resumed
+    render is bit-identical to an uninterrupted one. Works for all four
+    integrators; light tracing checkpoints its raw accumulators (splat
+    sums + the direct-splat running max) so the max-combined direct pane
+    also resumes exactly.
     """
     import dataclasses as _dc
 
@@ -61,69 +65,61 @@ def render_progressive(scene: SceneData, cam: Camera, opts: RenderOptions,
         from .integrators.path import render as run
     elif integrator == "naivept":
         from .integrators.naive import render as run
+    elif integrator == "bdpt":
+        from .integrators.bdpt import render as run
+    elif integrator == "light":
+        from .integrators.light import render as run
     else:
-        raise ValueError("progressive rendering supports path/naivept")
+        raise ValueError(f"unknown integrator {integrator!r}")
+    is_light = integrator == "light"
 
     film = np.zeros((cam.height, cam.width, 3), np.float64)
+    direct = np.zeros((cam.height, cam.width, 3), np.float64)
+    dmask = np.zeros((cam.height, cam.width), bool)
     done = 0
     if checkpoint_path and resume and os.path.exists(checkpoint_path):
         ck = np.load(checkpoint_path)
         if ck["film"].shape == film.shape and int(ck["seed"]) == seed:
             film = ck["film"].astype(np.float64)
             done = int(ck["spp_done"])
+            if is_light and "direct" in ck:
+                direct = ck["direct"].astype(np.float64)
+                dmask = ck["dmask"]
             if progress:
                 print(f"resumed at {done}/{opts.spp} spp")
 
     while done < opts.spp:
         n = min(chunk_spp, opts.spp - done)
         chunk_opts = _dc.replace(opts, spp=n)
-        # sample_offset via seed folding: shift the sample index space by
-        # rendering with a sample-index base. render() numbers samples
-        # 0..n-1, so fold the chunk start into the seed stream instead.
-        img = np.asarray(jax.block_until_ready(
-            _render_chunk(run, scene, cam, chunk_opts, seed, done)))
-        film += img * n
+        if is_light:
+            sp, dm, msk = jax.block_until_ready(
+                run(scene, cam, chunk_opts, seed, done, return_parts=True))
+            film += np.asarray(sp)          # raw splat sums
+            direct = np.maximum(direct, np.asarray(dm))
+            dmask |= np.asarray(msk)
+        else:
+            img = np.asarray(jax.block_until_ready(
+                run(scene, cam, chunk_opts, seed, done)))
+            film += img * n
         done += n
         if checkpoint_path:
-            np.save  # noqa  (placeholder to keep flake quiet)
-            np.savez(checkpoint_path, film=film, spp_done=done, seed=seed)
+            np.savez(checkpoint_path, film=film, spp_done=done, seed=seed,
+                     direct=direct, dmask=dmask)
         if progress:
             bar = int(60 * done / opts.spp)
             print("=" * bar + ">" + " " * (60 - bar) +
                   f" {int(100 * done / opts.spp)} %", flush=True)
-    return (film / max(done, 1)).astype(np.float32)
 
-
-def _render_chunk(run, scene, cam, opts, seed, sample_base):
-    """Render ``opts.spp`` samples whose global sample indices start at
-    ``sample_base`` (exact continuation of the counter-based RNG stream)."""
-    from .integrators.path import render_sample
-    import jax.numpy as jnp
-    from .utils.vec import where as vwhere
-    from .utils.vec import Vec3
-
-    if run.__module__.endswith("naive"):
-        return run(scene, cam, opts, seed)
-
-    @jax.jit
-    def go():
-        p = cam.n_pixels
-        lane = jnp.arange(p, dtype=jnp.int32)
-        px = lane % cam.width
-        py = lane // cam.width
-
-        def body(s, acc):
-            L = render_sample(scene, cam, px, py, lane, sample_base + s,
-                              seed, opts)
-            return (acc[0] + L.x, acc[1] + L.y, acc[2] + L.z)
-
-        zeros = jnp.zeros((p,), jnp.float32)
-        acc = jax.lax.fori_loop(0, opts.spp, body, (zeros, zeros, zeros))
-        inv = 1.0 / opts.spp
-        img = jnp.stack([a * inv for a in acc], axis=-1)
-        return img.reshape(cam.height, cam.width, 3)
-
-    return go()
+    done = max(done, 1)
+    if is_light:
+        from .integrators.light import compose_light_film
+        import jax.numpy as jnp
+        out = compose_light_film(scene, cam,
+                                 jnp.asarray(film, jnp.float32),
+                                 jnp.asarray(direct, jnp.float32),
+                                 jnp.asarray(dmask), done)
+        return np.asarray(out)
+    return (film / done).astype(np.float32)
 
 
 def estimator_grid(scene: SceneData, cam: Camera, opts: RenderOptions,
