@@ -111,7 +111,7 @@ def _walk(scene, cam, o, d, tp0: Vec3, lane, sample_idx, seed, opts,
     for k in range(n_vertices):
         b = start_bounce + k
         u = lambda p: rng.uniform(seed, lane, sample_idx, b, p)
-        core = intersect_core(scene, state_o, state_d)
+        core = intersect_core(scene, state_o, state_d, mask=walking)
         hit = shade_hit(scene, state_o, state_d, core)
         params = gather_material(scene, hit.mat)
         from .path import apply_textures
@@ -142,6 +142,7 @@ def _walk(scene, cam, o, d, tp0: Vec3, lane, sample_idx, seed, opts,
             fwd=fwd, rev=rev, g=g, delta=is_delta, valid=stored,
             wo=wo,  # direction toward the previous vertex
             hit_kind=hit.kind, hit_idx=hit.idx, hit_mat=hit.mat,
+            hit_area=hit.area,
         ))
 
         emissive = params.emissive
@@ -390,12 +391,14 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
     occl_o: List[Vec3] = []
     occl_d: List[Vec3] = []
     occl_dist: List = []
+    occl_mask: List = []
     pending: List[Dict] = []
 
-    def queue_occlusion(orig: Vec3, dirn: Vec3, dist) -> int:
+    def queue_occlusion(orig: Vec3, dirn: Vec3, dist, live) -> int:
         occl_o.append(orig)
         occl_d.append(dirn)
         occl_dist.append(dist)
+        occl_mask.append(live)
         return len(occl_o) - 1
 
     max_len = opts.bdpt_max_path_length
@@ -478,12 +481,12 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
                 toc = Vec3(cam.position.x - oo.x, cam.position.y - oo.y,
                            cam.position.z - oo.z)
                 dc = toc.norm()
-                q = queue_occlusion(oo, toc * (1.0 / jnp.maximum(dc, 1e-20)),
-                                    dc)
                 front = wi.dot(cam.fwd) < 0.0
                 ok = ok & front & (idx >= 0)
                 zero_c = (contrib.x == 0) & (contrib.y == 0) & (contrib.z == 0)
                 ok = ok & ~zero_c
+                q = queue_occlusion(oo, toc * (1.0 / jnp.maximum(dc, 1e-20)),
+                                    dc, ok)
                 pending.append(dict(kind='splat', ok=ok, q=q, idx=idx,
                                     rgb=contrib * w))
                 continue
@@ -514,16 +517,16 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
             else:
                 l_inside = l_wo.dot(lv['ns']) < 0.0
                 l_orig = lv['pos'] + vwhere(l_inside, -lv['ns'], lv['ns']) * EPSILON
-            seg = l_orig - e_orig
-            seg_len = seg.norm()
-            q = queue_occlusion(e_orig,
-                                seg * (1.0 / jnp.maximum(seg_len, 1e-20)),
-                                seg_len)
             g = geo(ev['pos'], ev['ng'], lv['pos'], lv['ng'])
             contrib = ev['tp'] * ev_bsdf * lv['tp'] * lv_bsdf * \
                 l_emission * (g * we_pix)
             zero_c = (contrib.x == 0) & (contrib.y == 0) & (contrib.z == 0)
             ok = ok & ~zero_c
+            seg = l_orig - e_orig
+            seg_len = seg.norm()
+            q = queue_occlusion(e_orig,
+                                seg * (1.0 / jnp.maximum(seg_len, 1e-20)),
+                                seg_len, ok)
             w = strategy_weight(mis_weight(scene, cam, ep, lp, s, t, eta_scene,
                                                     opts.tutu_bdpt_weight_kill))
             pending.append(dict(kind='est', ok=ok, q=q, rgb=contrib * w))
@@ -535,7 +538,8 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
                      cat([v.z for v in occl_o]))
         all_d = Vec3(cat([v.x for v in occl_d]), cat([v.y for v in occl_d]),
                      cat([v.z for v in occl_d]))
-        blocked_all = occluded(scene, all_o, all_d, cat(occl_dist))
+        blocked_all = occluded(scene, all_o, all_d, cat(occl_dist),
+                               mask=cat(occl_mask))
         blocked_rows = blocked_all.reshape(len(occl_o), n)
         for rec in pending:
             ok = rec['ok'] & ~blocked_rows[rec['q']]
@@ -554,7 +558,8 @@ def light_pdf_of_hit_params(scene, v):
     """1/(n_lights*area) for a stored emissive eye vertex. Uses the light
     table: match by primitive is unavailable post-gather, so we recompute
     from the stored hit kind/idx captured at build time."""
-    return light_pdf_of_hit(scene, v['hit_kind'], v['hit_idx'], v['hit_mat'])
+    return light_pdf_of_hit(scene, v['hit_kind'], v['hit_idx'], v['hit_mat'],
+                            v.get('hit_area'))
 
 
 @partial(jax.jit, static_argnames=("opts",))

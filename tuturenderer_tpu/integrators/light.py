@@ -70,7 +70,7 @@ def trace_sample(scene, cam: Camera, lane, sample_idx, seed,
     to_cam = cam.position - orig0
     cam_dist = to_cam.norm()
     vis = ~occluded(scene, orig0, to_cam * (1.0 / jnp.maximum(cam_dist, 1e-20)),
-                    cam_dist)
+                    cam_dist, mask=ls.valid)
     we0, idx0 = importance_we(cam, ls.pos)
     direct_rgb = ls.emission * we0
     direct_idx = jnp.where(ls.valid & vis & (idx0 >= 0), idx0, -1)
@@ -86,7 +86,7 @@ def trace_sample(scene, cam: Camera, lane, sample_idx, seed,
     for s in range(1, max(opts.lt_max_depth, 2)):
         o, d = state['o'], state['d']
         alive = state['alive']
-        core = intersect_core(scene, o, d)
+        core = intersect_core(scene, o, d, mask=alive)
         hit = shade_hit(scene, o, d, core)
         params = gather_material(scene, hit.mat)
         params, ns = apply_textures(scene, hit, params)
@@ -108,7 +108,8 @@ def trace_sample(scene, cam: Camera, lane, sample_idx, seed,
         oc = hit.pos + vwhere(inside_c, -hit.ns, hit.ns) * EPSILON
         toc = cam.position - oc
         dc = toc.norm()
-        viso = ~occluded(scene, oc, toc * (1.0 / jnp.maximum(dc, 1e-20)), dc)
+        viso = ~occluded(scene, oc, toc * (1.0 / jnp.maximum(dc, 1e-20)), dc,
+                         mask=alive & (idx >= 0))
         ok = alive & viso & (idx >= 0)
         idx_list.append(jnp.where(ok, idx, -1))
         rgb_list.append(contrib)

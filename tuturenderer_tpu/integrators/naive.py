@@ -58,7 +58,8 @@ def trace_sample(scene, cam: Camera, px, py, lane, sample_idx, seed,
     def step(state, t):
         u = lambda purpose: rng.uniform(seed, lane, sample_idx, t, purpose)
         alive = state['alive']
-        core = intersect_core(scene, state['o'], state['d'])
+        core = intersect_core(scene, state['o'], state['d'],
+                              mask=state['alive'])
         hit = shade_hit(scene, state['o'], state['d'], core)
         params = gather_material(scene, hit.mat)
         params, ns = apply_textures(scene, hit, params)

@@ -157,7 +157,7 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         u = lambda purpose: rng.uniform(seed, state['lane'], sample_idx,
                                         depth, purpose)
 
-        core = intersect_core(scene, o, d)
+        core = intersect_core(scene, o, d, mask=alive)
         hit = shade_hit(scene, o, d, core)
         params = gather_material(scene, hit.mat)
         params, ns = apply_textures(scene, hit, params)
@@ -183,7 +183,8 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         L = L + vwhere(direct_em, w * params.emission, z3)
         #   BSDF-sample hit: MIS weighted (PathTracing.hpp:239-260)
         bsdf_em = emissive & (from_kind == FROM_BSDF)
-        light_pdf_a = light_pdf_of_hit(scene, hit.kind, hit.idx, hit.mat)
+        light_pdf_a = light_pdf_of_hit(scene, hit.kind, hit.idx, hit.mat,
+                                       hit.area)
         cos_prime = hit.ns.normalized(1e-20).dot(-d)
         t_hit = jnp.where(hit.hit, core.t, 1.0)
         r2 = t_hit * t_hit
@@ -235,7 +236,8 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
             blocked = sh_trans <= 0.0
         else:
             sh_trans = None
-            blocked = occluded(scene, sh_orig, sh_dir, dist_l)
+            blocked = occluded(scene, sh_orig, sh_dir, dist_l,
+                               mask=do_nee & ls.valid)
         wi_l = (ls.pos - hit.pos)
         r2_l = wi_l.norm2()
         wi_l = wi_l.normalized(1e-20)
@@ -351,11 +353,12 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         nn = state['o'].x.shape[0]
         L = state['L']
         pending = state['alive'] & (state['from_kind'] == FROM_BSDF)
-        core = intersect_core(scene, state['o'], state['d'])
+        core = intersect_core(scene, state['o'], state['d'], mask=pending)
         hit = shade_hit(scene, state['o'], state['d'], core)
         params = gather_material(scene, hit.mat)
         emissive = params.emissive & pending & hit.hit
-        light_pdf_a = light_pdf_of_hit(scene, hit.kind, hit.idx, hit.mat)
+        light_pdf_a = light_pdf_of_hit(scene, hit.kind, hit.idx, hit.mat,
+                                       hit.area)
         cos_prime = hit.ns.normalized(1e-20).dot(-state['d'])
         t_hit = jnp.where(hit.hit, core.t, 1.0)
         l_pdf_sa = light_pdf_a * t_hit * t_hit / jnp.maximum(cos_prime, 1e-20)
@@ -400,7 +403,7 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
             u = lambda purpose: rng.uniform(seed, state['lane'], sample_idx,
                                             depth, purpose)
 
-            core = intersect_core(scene, o, d)
+            core = intersect_core(scene, o, d, mask=alive)
             hit = shade_hit(scene, o, d, core)
             params = gather_material(scene, hit.mat)
             params, ns = apply_textures(scene, hit, params)
@@ -456,7 +459,8 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
                 blocked = sh_trans <= 0.0
             else:
                 sh_trans = None
-                blocked = occluded(scene, sh_orig, sh_dir, dist_l)
+                blocked = occluded(scene, sh_orig, sh_dir, dist_l,
+                                   mask=diff & ls.valid)
             p2l = (ls.pos - hit.pos).normalized(1e-20)
             cos_p = ls.ng.normalized(1e-20).dot(-p2l)
             cos_t = p2l.dot(hit.ns)                 # signed (hpp:306)

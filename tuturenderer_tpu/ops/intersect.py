@@ -73,6 +73,7 @@ class HitRecord(NamedTuple):
     mat: jnp.ndarray    # [N] int32 material id (0 where miss; gate with hit)
     kind: jnp.ndarray
     idx: jnp.ndarray
+    area: jnp.ndarray   # [N] f32 primitive surface area (light-pdf input)
 
 
 def _gather_vec3(v: Vec3, idx) -> Vec3:
@@ -214,11 +215,34 @@ def _sphere_best(scene: SceneData, orig: Vec3, d: Vec3, best: HitCore) -> HitCor
     )
 
 
-def intersect_core(scene: SceneData, orig: Vec3, d: Vec3) -> HitCore:
+def _mask_rays(orig: Vec3, d: Vec3, mask):
+    """Replace dead lanes with a degenerate ray far outside the scene
+    pointing away from it: it fails every slab/triangle/sphere test, and
+    after Morton sorting all dead lanes group into tiles that cull
+    everything — without this, dead lanes carry stale directions from
+    their last bounce, destroying tile coherence for the cluster kernel
+    while producing results nobody reads."""
+    far = jnp.float32(-1e7)
+    zero = jnp.zeros_like(d.x)
+    orig = Vec3(jnp.where(mask, orig.x, far), jnp.where(mask, orig.y, far),
+                jnp.where(mask, orig.z, far))
+    d = Vec3(jnp.where(mask, d.x, zero), jnp.where(mask, d.y, zero - 1.0),
+             jnp.where(mask, d.z, zero))
+    return orig, d
+
+
+def intersect_core(scene: SceneData, orig: Vec3, d: Vec3,
+                   mask=None) -> HitCore:
     """Nearest hit of each ray against the whole scene. Uses the flattened
     BVH when the scene carries one (large meshes); dense streaming
     otherwise — the strategy selection mirroring the reference's EXPEDITE
-    switch (Renderer.hpp:38-39), decided per scene at build time."""
+    switch (Renderer.hpp:38-39), decided per scene at build time.
+
+    ``mask`` (optional bool [N]): lanes with mask=False are dead wavefront
+    lanes; they are traced as degenerate never-hit rays (see _mask_rays)
+    so they cost nothing in the tile-culling kernels."""
+    if mask is not None:
+        orig, d = _mask_rays(orig, d, mask)
     if scene.clusters is not None and _dense_impl() == "pallas":
         from .pallas.cluster import cluster_intersect
         t, idx, bu, bv = cluster_intersect(scene.clusters, orig, d,
@@ -263,7 +287,8 @@ def _sphere_occluded(scene: SceneData, orig: Vec3, d: Vec3, dist) -> jnp.ndarray
     return best.hit & (best.t < dist) & (jnp.abs(best.t - dist) >= PARALLEL_EPS)
 
 
-def occluded(scene: SceneData, orig: Vec3, d: Vec3, dist) -> jnp.ndarray:
+def occluded(scene: SceneData, orig: Vec3, d: Vec3, dist,
+             mask=None) -> jnp.ndarray:
     """Any-hit within ``dist`` (shadow ray). Mirrors hasIntersection
     (BVH.hpp:170-194) incl. the FLOAT_EQUAL guard at the endpoint.
 
@@ -271,7 +296,13 @@ def occluded(scene: SceneData, orig: Vec3, d: Vec3, dist) -> jnp.ndarray:
     boolean reduction, no nearest-hit bookkeeping); spheres and
     BVH/fallback paths reuse the nearest-hit traversal. (Equivalent
     results either way: if the nearest hit fails the endpoint guard, no
-    farther hit can pass it, since passing requires t <= dist - eps.)"""
+    farther hit can pass it, since passing requires t <= dist - eps.)
+
+    ``mask`` as in intersect_core: dead lanes become degenerate rays with
+    dist 0 and always report unblocked."""
+    if mask is not None:
+        orig, d = _mask_rays(orig, d, mask)
+        dist = jnp.where(mask, dist, 0.0)
     if scene.clusters is not None and _dense_impl() == "pallas":
         from .pallas.cluster import cluster_occluded
         blocked = cluster_occluded(scene.clusters, orig, d, dist, sort=True)
@@ -373,25 +404,34 @@ def shade_hit(scene: SceneData, orig: Vec3, d: Vec3, core: HitCore) -> HitRecord
     zeros = jnp.zeros_like(pos.x)
     zerov = Vec3(zeros, zeros, zeros)
 
-    # triangle attributes
+    # triangle attributes. Two gather strategies, chosen by table size:
+    # small tables -> per-column gathers (XLA lowers them to select trees,
+    # ~free); large tables -> ONE packed-row gather from tri_shade (column
+    # gathers become per-lane loops at ~3.7 ms each at 262k lanes, and the
+    # row gather fetches all 20 fields for one loop's cost; but the row
+    # form is SLOWER than selects on small tables).
     if scene.n_tris:
         ti = jnp.where(is_tri, safe_idx, 0)
-        tv0 = _gather_vec3(scene.tv0, ti)
-        tv1 = _gather_vec3(scene.tv1, ti)
-        tv2 = _gather_vec3(scene.tv2, ti)
-        n0 = _gather_vec3(scene.tn0, ti)
-        n1 = _gather_vec3(scene.tn1, ti)
-        n2 = _gather_vec3(scene.tn2, ti)
         w = 1.0 - core.bu - core.bv
-        ng_tri = (tv1 - tv0).cross(tv2 - tv0).normalized(1e-30)
+        if scene.n_tris > 4096:
+            rows = scene.tri_shade[ti]               # [N, 20]
+            col = lambda j: rows[:, j]
+        else:
+            col = lambda j: scene.tri_shade[:, j][ti]
+        n0 = Vec3(col(0), col(1), col(2))
+        n1 = Vec3(col(3), col(4), col(5))
+        n2 = Vec3(col(6), col(7), col(8))
+        ng_tri = Vec3(col(9), col(10), col(11))      # prenormalized cross
         ns_tri = (n0 * w + n1 * core.bu + n2 * core.bv).normalized(1e-30)
-        u_tri = scene.tuv0u[ti] * w + scene.tuv1u[ti] * core.bu + scene.tuv2u[ti] * core.bv
-        v_tri = scene.tuv0v[ti] * w + scene.tuv1v[ti] * core.bu + scene.tuv2v[ti] * core.bv
-        mat_tri = scene.tmat[ti]
+        u_tri = col(12) * w + col(14) * core.bu + col(16) * core.bv
+        v_tri = col(13) * w + col(15) * core.bu + col(17) * core.bv
+        mat_tri = col(18).astype(jnp.int32)
+        area_tri = col(19)
     else:
         ng_tri = ns_tri = zerov
         u_tri = v_tri = zeros
         mat_tri = jnp.zeros_like(core.idx)
+        area_tri = zeros
 
     # sphere attributes (skipped entirely for triangle-only scenes)
     if scene.n_spheres:
@@ -405,15 +445,18 @@ def shade_hit(scene: SceneData, orig: Vec3, d: Vec3, core: HitCore) -> HitRecord
         theta = jnp.where(theta < 0, theta + 2.0 * jnp.pi, theta)
         u_sph = theta / (2.0 * jnp.pi)
         mat_sph = scene.smat[si]
+        area_sph = scene.sarea[si]
         ng = vwhere(is_tri, ng_tri, ng_sph)
         ns = vwhere(is_tri, ns_tri, ng_sph)
         u = jnp.where(is_tri, u_tri, u_sph)
         v = jnp.where(is_tri, v_tri, v_sph)
         mat = jnp.where(core.hit, jnp.where(is_tri, mat_tri, mat_sph), 0)
+        area = jnp.where(is_tri, area_tri, area_sph)
     else:
         ng, ns = ng_tri, ns_tri
         u, v = u_tri, v_tri
         mat = jnp.where(core.hit, mat_tri, 0)
+        area = area_tri
 
     return HitRecord(
         t=core.t,
@@ -426,6 +469,7 @@ def shade_hit(scene: SceneData, orig: Vec3, d: Vec3, core: HitCore) -> HitRecord
         mat=mat,
         kind=core.kind,
         idx=core.idx,
+        area=area,
     )
 
 

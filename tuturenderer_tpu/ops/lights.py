@@ -54,29 +54,24 @@ def sample_light(scene: SceneData, r_pick, r0, r1,
     idx = scene.light_idx[pick]
     area = scene.light_area[pick]
 
-    # ---- triangle surface point
-    ti = jnp.where(kind == SPHERE, 0, idx)
-    if scene.n_tris:
-        v0 = _gather_vec3(scene.tv0, ti)
-        v1 = _gather_vec3(scene.tv1, ti)
-        v2 = _gather_vec3(scene.tv2, ti)
-        n0 = _gather_vec3(scene.tn0, ti)
-        n1 = _gather_vec3(scene.tn1, ti)
-        n2 = _gather_vec3(scene.tn2, ti)
-        if tutu_tri_sample:
-            u = r0
-            v = r1 * (1.0 - u)
-        else:
-            su = jnp.sqrt(jnp.maximum(r0, 0.0))
-            u = 1.0 - su
-            v = r1 * su
-        w = 1.0 - u - v
-        tpos = v0 * w + v1 * u + v2 * v
-        tng = (n0 * w + n1 * u + n2 * v).normalized(1e-20)
+    # ---- triangle surface point (per-light [L] tables — never gather
+    # from the full [T] triangle tables here; see SceneData.light_v0)
+    v0 = _gather_vec3(scene.light_v0, pick)
+    v1 = _gather_vec3(scene.light_v1, pick)
+    v2 = _gather_vec3(scene.light_v2, pick)
+    n0 = _gather_vec3(scene.light_n0, pick)
+    n1 = _gather_vec3(scene.light_n1, pick)
+    n2 = _gather_vec3(scene.light_n2, pick)
+    if tutu_tri_sample:
+        u = r0
+        v = r1 * (1.0 - u)
     else:
-        z3 = Vec3(zeros, zeros, zeros)
-        tpos, tng = z3, z3
-        ti = jnp.zeros_like(ti)
+        su = jnp.sqrt(jnp.maximum(r0, 0.0))
+        u = 1.0 - su
+        v = r1 * su
+    w = 1.0 - u - v
+    tpos = v0 * w + v1 * u + v2 * v
+    tng = (n0 * w + n1 * u + n2 * v).normalized(1e-20)
 
     # ---- sphere surface point (uniform in angles, Sphere.hpp:147-152)
     if scene.n_spheres:
@@ -96,35 +91,37 @@ def sample_light(scene: SceneData, r_pick, r0, r1,
         ng = Vec3(jnp.where(is_sph, sng.x, tng.x),
                   jnp.where(is_sph, sng.y, tng.y),
                   jnp.where(is_sph, sng.z, tng.z))
-        mat_tri = scene.tmat[ti] if scene.n_tris else jnp.zeros_like(ti)
-        mat = jnp.where(is_sph, scene.smat[si], mat_tri)
     else:
         pos, ng = tpos, tng
-        mat = scene.tmat[ti]
 
-    em = scene.materials.emission
-    emission = Vec3(em.x[mat], em.y[mat], em.z[mat])
+    emission = _gather_vec3(scene.light_emission, pick)
     pdf = 1.0 / (n * area)
     return LightSample(pos=pos, ng=ng, emission=emission, pdf_area=pdf,
                        valid=jnp.ones(shape, bool))
 
 
-def light_pdf_of_hit(scene: SceneData, hit_kind, hit_idx, hit_mat):
+def light_pdf_of_hit(scene: SceneData, hit_kind, hit_idx, hit_mat,
+                     hit_area=None):
     """getLightPdf (IIntegrator.hpp:155-168): 1/(n_lights * area) if the hit
-    primitive emits, else 0."""
+    primitive emits, else 0. Pass ``hit_area`` (HitRecord.area) when
+    available to skip the per-lane area gather from the full primitive
+    tables."""
     n = scene.n_lights
     if n == 0:
         return jnp.zeros_like(hit_kind, jnp.float32)
     em = scene.materials.emission
     emissive = (em.x[hit_mat] != 0) | (em.y[hit_mat] != 0) | (em.z[hit_mat] != 0)
-    safe = jnp.maximum(hit_idx, 0)
-    area_tri = scene.tarea[jnp.where(hit_kind == SPHERE, 0, safe)] \
-        if scene.n_tris else jnp.ones_like(hit_idx, jnp.float32)
-    if scene.n_spheres:
-        area_sph = scene.sarea[jnp.where(hit_kind == SPHERE, safe, 0)]
-        area = jnp.where(hit_kind == SPHERE, area_sph, area_tri)
+    if hit_area is not None:
+        area = hit_area
     else:
-        area = area_tri
+        safe = jnp.maximum(hit_idx, 0)
+        area_tri = scene.tarea[jnp.where(hit_kind == SPHERE, 0, safe)] \
+            if scene.n_tris else jnp.ones_like(hit_idx, jnp.float32)
+        if scene.n_spheres:
+            area_sph = scene.sarea[jnp.where(hit_kind == SPHERE, safe, 0)]
+            area = jnp.where(hit_kind == SPHERE, area_sph, area_tri)
+        else:
+            area = area_tri
     return jnp.where(emissive, 1.0 / (n * jnp.maximum(area, 1e-20)), 0.0)
 
 

@@ -37,8 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .intersect import F32_MAX, LANES, PARALLEL_EPS
 
 CLUSTER_SIZE = 64
-ROWS = 32                # rays per tile = ROWS x LANES; small tiles keep
-                         # the any-lane culling granularity spatially tight
+ROWS = 8                 # rays per tile = ROWS x LANES = 1024; the f32
+                         # sublane minimum — the tightest tile the TPU
+                         # allows, maximizing any-lane cull effectiveness
 CGROUP = 8               # clusters fetched per SMEM block (TPU tiling:
                          # sublane dim of a block must be divisible by 8)
 
@@ -322,9 +323,9 @@ def _run_anyhit(aabb, tri_idx, woop, ox, oy, oz, dx, dy, dz, dist,
     return hit.reshape(-1)
 
 
-def _part1by2(x):
-    """Spread the low 8 bits of x so consecutive bits land 3 apart."""
-    x = x & 0xFF
+def _part1by2(x, bits=8):
+    """Spread the low ``bits`` bits of x so consecutive bits land 3 apart."""
+    x = x & ((1 << bits) - 1)
     x = (x | (x << 16)) & 0x030000FF
     x = (x | (x << 8)) & 0x0300F00F
     x = (x | (x << 4)) & 0x030C30C3
@@ -333,21 +334,27 @@ def _part1by2(x):
 
 
 def ray_sort_keys(clusters: Clusters, orig, d):
-    """Sort key: direction octant (3 high bits) then Morton code of the
-    quantized origin. Sorting a bounce wavefront by this key makes ray
-    tiles spatially/directionally tight, which is what the tile-level
-    cluster culling feeds on (incoherent tiles cull nothing)."""
+    """Sort key (30-bit int32): Morton of the quantized origin (6 bits per
+    axis, high) then Morton of the quantized direction (4 bits per axis,
+    low). Sorting a bounce wavefront by this key makes ray tiles
+    spatially AND directionally tight, which is what the tile-level
+    cluster culling feeds on (incoherent tiles cull nothing).
+
+    The direction bits are essential for PRIMARY rays: all camera rays
+    share one origin, so an origin-only key leaves them in row-major
+    order — 128-lane tiles become full-width image strips whose beam
+    crosses most of the scene and culls nothing. Direction-Morton
+    ordering groups them into compact screen blocks instead."""
     ext = jnp.maximum(clusters.scene_hi - clusters.scene_lo, 1e-20)
-    q = lambda o, k: jnp.clip(((o - clusters.scene_lo[k]) / ext[k] * 256.0)
-                              .astype(jnp.int32), 0, 255)
-    mx = _part1by2(q(orig.x, 0))
-    my = _part1by2(q(orig.y, 1))
-    mz = _part1by2(q(orig.z, 2))
-    morton = mx | (my << 1) | (mz << 2)
-    octant = ((d.x >= 0).astype(jnp.int32) |
-              ((d.y >= 0).astype(jnp.int32) << 1) |
-              ((d.z >= 0).astype(jnp.int32) << 2))
-    return (octant << 24) | morton
+    q = lambda o, k, s: jnp.clip(((o - clusters.scene_lo[k]) / ext[k] * s)
+                                 .astype(jnp.int32), 0, int(s) - 1)
+    mo = (_part1by2(q(orig.x, 0, 64.0), 6) |
+          (_part1by2(q(orig.y, 1, 64.0), 6) << 1) |
+          (_part1by2(q(orig.z, 2, 64.0), 6) << 2))
+    qd = lambda c: jnp.clip(((c + 1.0) * 8.0).astype(jnp.int32), 0, 15)
+    md = (_part1by2(qd(d.x), 4) | (_part1by2(qd(d.y), 4) << 1) |
+          (_part1by2(qd(d.z), 4) << 2))
+    return (mo << 12) | md
 
 
 def sorted_ray_order(clusters: Clusters, orig, d):

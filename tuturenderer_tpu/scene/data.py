@@ -102,6 +102,12 @@ class SceneData:
     tuv2v: jnp.ndarray
     tmat: jnp.ndarray        # [T] int32 material id
     tarea: jnp.ndarray       # [T] f32
+    # packed per-triangle shading row [T, 20]: n0(3) n1(3) n2(3) ng(3)
+    # uv0(2) uv1(2) uv2(2) mat(1,f32) area(1). ONE row gather replaces
+    # ~25 scalar-column gathers in shade_hit — XLA lowers large-table
+    # gathers to a per-index loop, so gather COUNT (not width) is what
+    # costs; measured 25 x 3.7 ms -> 1 x 24 ms at 262k lanes / 100k tris
+    tri_shade: jnp.ndarray
     # spheres [S]
     scenter: Vec3
     sradius: jnp.ndarray
@@ -113,6 +119,18 @@ class SceneData:
     light_kind: jnp.ndarray  # [L] int32 TRIANGLE/SPHERE
     light_idx: jnp.ndarray   # [L] int32 into tri/sphere arrays
     light_area: jnp.ndarray  # [L] f32
+    # per-light denormalized geometry + emission so emitter sampling
+    # gathers only from [L]-sized tables (small-table gathers lower to
+    # selects; indexing the full [T] tables through light_idx costs a
+    # slow per-lane gather loop on every NEE). Triangle lights only;
+    # sphere lights read the (small) sphere table directly.
+    light_v0: Vec3           # [L]
+    light_v1: Vec3
+    light_v2: Vec3
+    light_n0: Vec3
+    light_n1: Vec3
+    light_n2: Vec3
+    light_emission: Vec3     # [L] resolved material emission
     # textures
     diffuse_maps: TextureAtlas
     normal_maps: TextureAtlas
@@ -276,7 +294,14 @@ class SceneBuilder:
             tmat = np.zeros((0,), np.int32)
         e1 = verts[:, 1] - verts[:, 0]
         e2 = verts[:, 2] - verts[:, 0]
-        tarea = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+        tcross = np.cross(e1, e2)
+        tarea = 0.5 * np.linalg.norm(tcross, axis=1)
+        tng = tcross / np.maximum(
+            np.linalg.norm(tcross, axis=1, keepdims=True), 1e-30)
+        tri_shade = np.concatenate([
+            normals.reshape(-1, 9), tng.astype(np.float32),
+            uvs.reshape(-1, 6), tmat[:, None].astype(np.float32),
+            tarea[:, None].astype(np.float32)], axis=1).astype(np.float32)
 
         if self._sph_center:
             sc = np.stack(self._sph_center, 0)
@@ -298,16 +323,26 @@ class SceneBuilder:
         # light list: every primitive whose material emits
         # (PPMGenerator::initializeLights, PPMGenerator.hpp:317-324)
         lk, li, la = [], [], []
+        lverts, lnorms, lem = [], [], []
         for i in range(len(tmat)):
             if is_light[tmat[i]]:
                 lk.append(TRIANGLE)
                 li.append(i)
                 la.append(tarea[i])
+                lverts.append(verts[i])
+                lnorms.append(normals[i])
+                lem.append(emission[tmat[i]])
         for i in range(len(smat)):
             if is_light[smat[i]]:
                 lk.append(SPHERE)
                 li.append(i)
                 la.append(sarea[i])
+                lverts.append(np.zeros((3, 3), np.float32))
+                lnorms.append(np.zeros((3, 3), np.float32))
+                lem.append(emission[smat[i]])
+        lverts = np.stack(lverts, 0) if lverts else np.zeros((0, 3, 3), np.float32)
+        lnorms = np.stack(lnorms, 0) if lnorms else np.zeros((0, 3, 3), np.float32)
+        lem = np.stack(lem, 0) if lem else np.zeros((0, 3), np.float32)
 
         def v3(a, axis_n=3):
             a = np.asarray(a, np.float32).reshape(-1, axis_n)
@@ -335,12 +370,18 @@ class SceneBuilder:
             tuv1u=jnp.asarray(uvs[:, 1, 0]), tuv1v=jnp.asarray(uvs[:, 1, 1]),
             tuv2u=jnp.asarray(uvs[:, 2, 0]), tuv2v=jnp.asarray(uvs[:, 2, 1]),
             tmat=jnp.asarray(tmat), tarea=jnp.asarray(tarea.astype(np.float32)),
+            tri_shade=jnp.asarray(tri_shade),
             scenter=v3(sc), sradius=jnp.asarray(sr), smat=jnp.asarray(smat),
             sarea=jnp.asarray(sarea.astype(np.float32)),
             materials=materials,
             light_kind=jnp.asarray(np.asarray(lk, np.int32)),
             light_idx=jnp.asarray(np.asarray(li, np.int32)),
             light_area=jnp.asarray(np.asarray(la, np.float32)),
+            light_v0=v3(lverts[:, 0]), light_v1=v3(lverts[:, 1]),
+            light_v2=v3(lverts[:, 2]),
+            light_n0=v3(lnorms[:, 0]), light_n1=v3(lnorms[:, 1]),
+            light_n2=v3(lnorms[:, 2]),
+            light_emission=v3(lem),
             diffuse_maps=_stack_textures(self.textures['diffuse']),
             normal_maps=_stack_textures(self.textures['normal']),
             roughness_maps=_stack_textures(self.textures['roughness']),
