@@ -83,3 +83,36 @@ def test_veach_bdpt_matches_reference_golden():
         f"mean abs diff {np.abs(golden - ours).mean():.4f}"
     assert abs(golden.mean() - ours.mean()) < 0.02, \
         f"mean diff {abs(golden.mean() - ours.mean()):.4f}"
+
+
+def test_light_tracing_matches_reference_golden():
+    """Light tracing against the reference oracle (integrator light,
+    LightTracing.hpp:25-206) on Cornell at 128x128 / 64 spp
+    (golden/cornell_light_128.txt): direct visible-light splats + one
+    vertex-connection bounce (the leaked MAXDEPTH=2). The one semantic
+    deviation — our deterministic max-combine replaces the reference's
+    write-order-dependent setRGB overwrite for the direct splat
+    (light.py module docstring) — stays within these statistical bounds.
+    Measured (seed 5): mean diff 0.0019, mean abs diff 0.020, max 16x16
+    block diff 0.045; thresholds ~1.5x."""
+    from tuturenderer_tpu.io.ppm import read_ppm
+    from tuturenderer_tpu.integrators.light import render
+    from tuturenderer_tpu.options import RenderOptions
+    from tuturenderer_tpu.scene.presets import cornell_box
+
+    path = os.path.join(GOLDEN_DIR, "cornell_light_128.ppm")
+    if not os.path.exists(path):
+        pytest.skip("golden not generated")
+    golden = read_ppm(path)
+
+    scene, cam = cornell_box(width=128, height=128)
+    img = np.asarray(render(scene, cam,
+                            RenderOptions(spp=64, lt_max_depth=2), seed=5))
+    ours = np.clip(img, 0.0, 1.0) ** 0.78
+
+    g8 = block_mean(golden, 16)
+    o8 = block_mean(ours, 16)
+    assert np.abs(g8 - o8).max() < 0.07, \
+        f"max block diff {np.abs(g8 - o8).max():.4f}"
+    assert np.abs(golden - ours).mean() < 0.032
+    assert abs(golden.mean() - ours.mean()) < 0.01

@@ -148,3 +148,36 @@ def test_cluster_sorted_matches_unsorted():
                                        interpret=True)
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     np.testing.assert_allclose(np.asarray(t0), np.asarray(t1))
+
+
+def test_cluster_transmittance_matches_dense():
+    """Alpha-weighted shadow transmittance: the cluster kernel must equal
+    the dense all-primitive product of (1 - alpha) over crossed
+    triangles (getShadowCoeffi semantics, BVHStrategy.hpp:13-45)."""
+    from tuturenderer_tpu.ops.intersect import transmittance
+    from tuturenderer_tpu.ops.pallas.cluster import cluster_transmittance
+
+    r = np.random.RandomState(11)
+    b = SceneBuilder()
+    m1 = b.add_material(alpha=0.3)
+    m2 = b.add_material(alpha=0.85)
+    centers = r.randn(300, 3) * 3.0
+    tris = (centers[:, None, :] + 0.5 * r.randn(300, 3, 3)).astype(np.float32)
+    b.add_triangles(tris[:150], None, None, m1)
+    b.add_triangles(tris[150:], None, None, m2)
+    s = b.build(use_bvh=True)
+    assert s.clusters is not None
+
+    n = 128
+    o_np = (r.randn(n, 3) * 4.0).astype(np.float32)
+    d_np = r.randn(n, 3).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = Vec3(*[jnp.asarray(o_np[:, i]) for i in range(3)])
+    d = Vec3(*[jnp.asarray(d_np[:, i]) for i in range(3)])
+    dist = jnp.full((n,), 6.0)
+
+    want = np.asarray(transmittance(s, o, d, dist))   # dense path on CPU
+    got = np.asarray(cluster_transmittance(s.clusters, o, d, dist,
+                                           interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert (want < 1.0).any() and (want > 0.0).any()  # nontrivial case

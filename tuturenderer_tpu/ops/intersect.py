@@ -319,20 +319,34 @@ def occluded(scene: SceneData, orig: Vec3, d: Vec3, dist,
     return core.hit & (core.t < dist) & (jnp.abs(core.t - dist) >= PARALLEL_EPS)
 
 
-def transmittance(scene: SceneData, orig: Vec3, d: Vec3, dist) -> jnp.ndarray:
+def transmittance(scene: SceneData, orig: Vec3, d: Vec3, dist,
+                  mask=None) -> jnp.ndarray:
     """Alpha-weighted shadow coefficient: the product of ``(1 - alpha)``
     over EVERY primitive the shadow ray crosses within ``dist`` — the
     strategy layer's getShadowCoeffi/ShadowHelper (BVHStrategy.hpp:13-45,
     BaseInterStrategy.hpp:25-43; multiplicative accumulation at
     BVHStrategy.hpp:38-44). Fully opaque occluders (alpha=1) yield 0;
-    translucent ones attenuate. Dense all-primitive evaluation — this is
-    exactly the reference's semantics, which visits every overlapped leaf.
+    translucent ones attenuate. Dense all-primitive evaluation for small
+    scenes (the reference visits every overlapped leaf); clustered scenes
+    take the Pallas tile-culling transmittance kernel, so alpha shadows
+    stay O(tiles x culled clusters) instead of O(rays x primitives).
     """
     n = orig.x.shape[0]
     trans = jnp.ones((n,), jnp.float32)
     dist = jnp.asarray(dist)
     if dist.ndim == 0:
         dist = jnp.full((n,), dist)
+    if mask is not None:
+        orig, d = _mask_rays(orig, d, mask)
+        dist = jnp.where(mask, dist, 0.0)
+
+    if scene.clusters is not None and _dense_impl() == "pallas":
+        from .pallas.cluster import cluster_transmittance
+        trans = cluster_transmittance(scene.clusters, orig, d, dist,
+                                      sort=True)
+        if scene.n_spheres:
+            trans = trans * _sphere_transmittance(scene, orig, d, dist)
+        return trans
 
     # triangles, in chunks: every accepted hit with t < dist attenuates
     lo = 0
@@ -373,21 +387,25 @@ def transmittance(scene: SceneData, orig: Vec3, d: Vec3, dist) -> jnp.ndarray:
 
     # spheres
     if scene.n_spheres:
-        lx = orig.x[:, None] - scene.scenter.x[None, :]
-        ly = orig.y[:, None] - scene.scenter.y[None, :]
-        lz = orig.z[:, None] - scene.scenter.z[None, :]
-        b = d.x[:, None] * lx + d.y[:, None] * ly + d.z[:, None] * lz
-        c = lx * lx + ly * ly + lz * lz \
-            - scene.sradius[None, :] * scene.sradius[None, :]
-        disc = b * b - c
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t1 = -b - sq
-        t2 = -b + sq
-        t = jnp.where(t1 > 0.0, t1, t2)
-        ok = (disc >= 0.0) & (t > 0.0) & (t < dist[:, None])
-        a = scene.materials.alpha[scene.smat][None, :]
-        trans = trans * jnp.prod(jnp.where(ok, 1.0 - a, 1.0), axis=1)
+        trans = trans * _sphere_transmittance(scene, orig, d, dist)
     return trans
+
+
+def _sphere_transmittance(scene: SceneData, orig: Vec3, d: Vec3, dist):
+    lx = orig.x[:, None] - scene.scenter.x[None, :]
+    ly = orig.y[:, None] - scene.scenter.y[None, :]
+    lz = orig.z[:, None] - scene.scenter.z[None, :]
+    b = d.x[:, None] * lx + d.y[:, None] * ly + d.z[:, None] * lz
+    c = lx * lx + ly * ly + lz * lz \
+        - scene.sradius[None, :] * scene.sradius[None, :]
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = -b - sq
+    t2 = -b + sq
+    t = jnp.where(t1 > 0.0, t1, t2)
+    ok = (disc >= 0.0) & (t > 0.0) & (t < dist[:, None])
+    a = scene.materials.alpha[scene.smat][None, :]
+    return jnp.prod(jnp.where(ok, 1.0 - a, 1.0), axis=1)
 
 
 def shade_hit(scene: SceneData, orig: Vec3, d: Vec3, core: HitCore) -> HitRecord:

@@ -44,12 +44,16 @@ CGROUP = 8               # clusters fetched per SMEM block (TPU tiling:
                          # sublane dim of a block must be divisible by 8)
 
 
+WOOP_F = 14              # floats per packed triangle row: 12 inverse-basis
+                         # values + |n| + material alpha (transmittance)
+
+
 class Clusters(NamedTuple):
     """Host-built cluster tables (device arrays). The cluster count is
     padded to a multiple of CGROUP; padded clusters have inverted AABBs
     (min=+inf, max=-inf) so no ray ever enters them."""
     aabb: jnp.ndarray      # [C, 8] f32: min(3), max(3), 2 pad
-    woop: jnp.ndarray      # [C, CLUSTER_SIZE*13] f32 per-triangle rows
+    woop: jnp.ndarray      # [C, CLUSTER_SIZE*WOOP_F] f32 per-triangle rows
     tri_idx: jnp.ndarray   # [C, CLUSTER_SIZE] i32 original ids, -1 pad
     scene_lo: jnp.ndarray  # [3] f32 scene bound (ray-sort quantization)
     scene_hi: jnp.ndarray  # [3] f32
@@ -79,16 +83,23 @@ def woop_rows(verts: np.ndarray):
     return rows, c, np.linalg.norm(n, axis=1)
 
 
-def pack_woop13(rows: np.ndarray, c: np.ndarray, nlen: np.ndarray):
-    """[T, 13] layout r1(3) c1 r2(3) c2 r3(3) c3 nlen (see _woop_scalars)."""
+def pack_woop(rows: np.ndarray, c: np.ndarray, nlen: np.ndarray,
+              alpha: np.ndarray):
+    """[T, WOOP_F] layout r1(3) c1 r2(3) c2 r3(3) c3 nlen alpha."""
     t = rows.shape[0]
     p = np.concatenate([rows, c[:, :, None]], axis=2).reshape(t, 12)
-    return np.concatenate([p, nlen[:, None]], axis=1).astype(np.float32)
+    return np.concatenate([p, nlen[:, None], alpha[:, None]],
+                          axis=1).astype(np.float32)
 
 
-def build_clusters(verts: np.ndarray, cluster_size: int = CLUSTER_SIZE) -> Clusters:
-    """Median-split grouping of triangles into padded fixed-size clusters."""
+def build_clusters(verts: np.ndarray, cluster_size: int = CLUSTER_SIZE,
+                   alphas: np.ndarray = None) -> Clusters:
+    """Median-split grouping of triangles into padded fixed-size clusters.
+    ``alphas``: per-triangle material opacity for the transmittance kernel
+    (defaults to fully opaque)."""
     t = verts.shape[0]
+    if alphas is None:
+        alphas = np.ones((t,), np.float32)
     lo = verts.min(axis=1)
     hi = verts.max(axis=1)
     centroid = 0.5 * (lo + hi)
@@ -110,17 +121,17 @@ def build_clusters(verts: np.ndarray, cluster_size: int = CLUSTER_SIZE) -> Clust
 
     cnum = -(-len(groups) // CGROUP) * CGROUP
     rows, cvec, nlen = woop_rows(verts)
-    w13 = pack_woop13(rows, cvec, nlen)
+    w = pack_woop(rows, cvec, nlen, np.asarray(alphas, np.float32))
 
     aabb = np.zeros((cnum, 8), np.float32)
     aabb[:, :3] = np.float32(3.4e38)       # padded clusters: empty boxes
     aabb[:, 3:6] = np.float32(-3.4e38)
-    woop = np.zeros((cnum, cluster_size * 13), np.float32)
+    woop = np.zeros((cnum, cluster_size * WOOP_F), np.float32)
     tri_idx = np.full((cnum, cluster_size), -1, np.int32)
     for ci, idx in enumerate(groups):
         aabb[ci, :3] = lo[idx].min(axis=0)
         aabb[ci, 3:6] = hi[idx].max(axis=0)
-        woop[ci, :len(idx) * 13] = w13[idx].reshape(-1)
+        woop[ci, :len(idx) * WOOP_F] = w[idx].reshape(-1)
         tri_idx[ci, :len(idx)] = idx
 
     return Clusters(aabb=jnp.asarray(aabb), woop=jnp.asarray(woop),
@@ -130,8 +141,12 @@ def build_clusters(verts: np.ndarray, cluster_size: int = CLUSTER_SIZE) -> Clust
 
 
 def _woop13(tri_ref, row, k):
-    base = k * 13
+    base = k * WOOP_F
     return [tri_ref[row, base + j] for j in range(13)]
+
+
+def _woop_alpha(tri_ref, row, k):
+    return tri_ref[row, k * WOOP_F + 13]
 
 
 def _test(tri_ref, row, k, rox, roy, roz, rdx, rdy, rdz):
@@ -262,7 +277,7 @@ def _run_nearest(aabb, tri_idx, woop, ox, oy, oz, dx, dy, dz,
     idx_spec = pl.BlockSpec((CGROUP, cluster_size),
                             lambda i, c: (c, 0),
                             memory_space=pltpu.SMEM)
-    tri_spec = pl.BlockSpec((CGROUP, cluster_size * 13),
+    tri_spec = pl.BlockSpec((CGROUP, cluster_size * WOOP_F),
                             lambda i, c: (c, 0),
                             memory_space=pltpu.SMEM)
     rs = lambda a: a.reshape(rows_total, LANES)
@@ -303,7 +318,7 @@ def _run_anyhit(aabb, tri_idx, woop, ox, oy, oz, dx, dy, dz, dist,
     idx_spec = pl.BlockSpec((CGROUP, cluster_size),
                             lambda i, c: (c, 0),
                             memory_space=pltpu.SMEM)
-    tri_spec = pl.BlockSpec((CGROUP, cluster_size * 13),
+    tri_spec = pl.BlockSpec((CGROUP, cluster_size * WOOP_F),
                             lambda i, c: (c, 0),
                             memory_space=pltpu.SMEM)
     rs = lambda a: a.reshape(rows_total, LANES)
@@ -321,6 +336,102 @@ def _run_anyhit(aabb, tri_idx, woop, ox, oy, oz, dx, dy, dz, dist,
     )(aabb, tri_idx, woop, rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz),
       rs(dist))
     return hit.reshape(-1)
+
+
+def _kernel_transmit(aabb_ref, idx_ref, tri_ref, ox, oy, oz, dx, dy, dz,
+                     dist, trans_out, *, cluster_size: int):
+    """Alpha-weighted shadow transmittance: product of (1 - alpha) over
+    every triangle crossed within dist (getShadowCoeffi semantics,
+    BVHStrategy.hpp:13-45). Same accept rule as the any-hit kernel."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        trans_out[...] = jnp.ones(trans_out.shape, jnp.float32)
+
+    rox = ox[...]
+    roy = oy[...]
+    roz = oz[...]
+    rdx = dx[...]
+    rdy = dy[...]
+    rdz = dz[...]
+    rdist = dist[...]
+
+    for row in range(CGROUP):
+        box = _slab(aabb_ref, row, rox, roy, roz, rdx, rdy, rdz, rdist)
+
+        @pl.when(jnp.any(box))
+        def _(row=row):
+            trans = trans_out[...]
+            for k in range(cluster_size):
+                t, u, v, dn = _test(tri_ref, row, k, rox, roy, roz,
+                                    rdx, rdy, rdz)
+                ok = (jnp.abs(dn) >= PARALLEL_EPS) & \
+                    (t > 0.0) & (u > 0.0) & (v > 0.0) & \
+                    (1.0 - u - v > 0.0) & (t < rdist)
+                a = _woop_alpha(tri_ref, row, k)
+                trans = trans * jnp.where(ok, 1.0 - a, 1.0)
+            trans_out[...] = trans
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cluster_size", "rows", "interpret"))
+def _run_transmit(aabb, tri_idx, woop, ox, oy, oz, dx, dy, dz, dist,
+                  cluster_size: int, rows: int, interpret: bool = False):
+    n = ox.shape[0]
+    rows_total = n // LANES
+    grid = (rows_total // rows, aabb.shape[0] // CGROUP)
+
+    ray_spec = lambda: pl.BlockSpec((rows, LANES), lambda i, c: (i, 0),
+                                    memory_space=pltpu.VMEM)
+    aabb_spec = pl.BlockSpec((CGROUP, 8), lambda i, c: (c, 0),
+                             memory_space=pltpu.SMEM)
+    idx_spec = pl.BlockSpec((CGROUP, cluster_size),
+                            lambda i, c: (c, 0),
+                            memory_space=pltpu.SMEM)
+    tri_spec = pl.BlockSpec((CGROUP, cluster_size * WOOP_F),
+                            lambda i, c: (c, 0),
+                            memory_space=pltpu.SMEM)
+    rs = lambda a: a.reshape(rows_total, LANES)
+    kernel = functools.partial(_kernel_transmit, cluster_size=cluster_size)
+    trans = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[aabb_spec, idx_spec, tri_spec] +
+                 [ray_spec() for _ in range(7)],
+        out_specs=ray_spec(),
+        out_shape=jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(aabb, tri_idx, woop, rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz),
+      rs(dist))
+    return trans.reshape(-1)
+
+
+def cluster_transmittance(clusters: Clusters, orig, d, dist,
+                          rows: int = ROWS, sort: bool = False,
+                          interpret: bool = False):
+    """Product of (1 - alpha) over crossed triangles within dist -> [N]."""
+    n = orig.x.shape[0]
+    if sort:
+        from ...utils.vec import Vec3
+        perm, inv = sorted_ray_order(clusters, orig, d)
+        g = lambda v: Vec3(v.x[perm], v.y[perm], v.z[perm])
+        tr = cluster_transmittance(clusters, g(orig), g(d), dist[perm],
+                                   rows=rows, interpret=interpret)
+        return tr[inv]
+    block = rows * LANES
+    n_pad = -(-n // block) * block
+    p = lambda a: _pad(a, n_pad, n)
+    cs = clusters.woop.shape[1] // WOOP_F
+    tr = _run_transmit(
+        clusters.aabb, clusters.tri_idx, clusters.woop,
+        p(orig.x), p(orig.y), p(orig.z), p(d.x), p(d.y), p(d.z), p(dist),
+        cluster_size=cs, rows=rows, interpret=interpret)
+    if n_pad != n:
+        tr = tr[:n]
+    return tr
 
 
 def _part1by2(x, bits=8):
@@ -387,7 +498,7 @@ def cluster_intersect(clusters: Clusters, orig, d, rows: int = ROWS,
     block = rows * LANES
     n_pad = -(-n // block) * block
     p = lambda a: _pad(a, n_pad, n)
-    cs = clusters.woop.shape[1] // 13
+    cs = clusters.woop.shape[1] // WOOP_F
     t, idx, bu, bv = _run_nearest(
         clusters.aabb, clusters.tri_idx, clusters.woop,
         p(orig.x), p(orig.y), p(orig.z), p(d.x), p(d.y), p(d.z),
@@ -411,7 +522,7 @@ def cluster_occluded(clusters: Clusters, orig, d, dist, rows: int = ROWS,
     block = rows * LANES
     n_pad = -(-n // block) * block
     p = lambda a: _pad(a, n_pad, n)
-    cs = clusters.woop.shape[1] // 13
+    cs = clusters.woop.shape[1] // WOOP_F
     hit = _run_anyhit(
         clusters.aabb, clusters.tri_idx, clusters.woop,
         p(orig.x), p(orig.y), p(orig.z), p(d.x), p(d.y), p(d.z), p(dist),

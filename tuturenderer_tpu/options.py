@@ -65,6 +65,11 @@ class RenderOptions:
     # fraction of the wavefront; live lanes are gathered to the front.
     # Size with margin above the scene's measured alive fractions: if the
     # live count ever exceeds the buffer, excess paths are dropped.
+    # Measured: a wash on Cornell (alive stays >30% to depth 5), a 2.6x
+    # win on the 100k-tri open scene (alive collapses to 21%/7%/3% after
+    # bounce 1; 32.7s -> 12.7s at 512^2 x 16spp) — use on large/open
+    # scenes, derive the schedule from trace_rays(collect_alive=True)
+    # (see bench.py:bench_sphere_100k)
     compaction: tuple = ()
     # detach sampling decisions (directions, pdfs, RR, MIS weights) so the
     # estimator is differentiable w.r.t. material parameters with correct

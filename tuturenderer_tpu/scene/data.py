@@ -442,4 +442,7 @@ class SceneBuilder:
             use_bvh = verts.shape[0] >= BVH_THRESHOLD
         if not use_bvh or verts.shape[0] == 0:
             return None
-        return build_clusters(verts)
+        tmat = np.concatenate(self._tri_mat, 0) if self._tris else \
+            np.zeros((0,), np.int32)
+        alphas = np.asarray(self._mat['alpha'], np.float32)[tmat]
+        return build_clusters(verts, alphas=alphas)
