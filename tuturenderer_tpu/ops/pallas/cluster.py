@@ -57,6 +57,8 @@ class Clusters(NamedTuple):
     tri_idx: jnp.ndarray   # [C, CLUSTER_SIZE] i32 original ids, -1 pad
     scene_lo: jnp.ndarray  # [3] f32 scene bound (ray-sort quantization)
     scene_hi: jnp.ndarray  # [3] f32
+    order: jnp.ndarray     # [8, C/CGROUP] i32 per-direction-octant
+                           # front-to-back visit order of CGROUP blocks
 
     @property
     def n_clusters(self) -> int:
@@ -134,10 +136,92 @@ def build_clusters(verts: np.ndarray, cluster_size: int = CLUSTER_SIZE,
         woop[ci, :len(idx) * WOOP_F] = w[idx].reshape(-1)
         tri_idx[ci, :len(idx)] = idx
 
+    # Per-direction-octant front-to-back visit order of the CGROUP blocks.
+    # For every ray whose direction signs match octant o, sorting blocks by
+    # the signed projection of their centroid visits them near-to-far
+    # (exact for parallel rays, a strong heuristic otherwise) — the ordered
+    # early-out the reference BVH never had (BVH.hpp:160-166): each lane's
+    # best-t shrinks early, so the slab cull's `tmin < t_lim` test rejects
+    # the far clusters wholesale.
+    ngroup = cnum // CGROUP
+    center = 0.5 * (aabb[:, :3] + aabb[:, 3:6])        # nan/huge for pads
+    valid = tri_idx[:, 0] >= 0
+    center[~valid] = 0.0
+    gvalid = valid.reshape(ngroup, CGROUP).any(axis=1)
+    gcount = np.maximum(valid.reshape(ngroup, CGROUP).sum(axis=1), 1)
+    gcenter = (center.reshape(ngroup, CGROUP, 3).sum(axis=1)
+               / gcount[:, None])
+    order = np.zeros((8, ngroup), np.int32)
+    for o in range(8):
+        s = np.array([(-1.0 if o & (1 << a) else 1.0) for a in range(3)],
+                     np.float32)
+        key = gcenter @ s
+        key[~gvalid] = np.float32(3.0e38)              # empty blocks last
+        order[o] = np.argsort(key, kind="stable").astype(np.int32)
+
     return Clusters(aabb=jnp.asarray(aabb), woop=jnp.asarray(woop),
                     tri_idx=jnp.asarray(tri_idx),
                     scene_lo=jnp.asarray(lo.min(axis=0).astype(np.float32)),
-                    scene_hi=jnp.asarray(hi.max(axis=0).astype(np.float32)))
+                    scene_hi=jnp.asarray(hi.max(axis=0).astype(np.float32)),
+                    order=jnp.asarray(order))
+
+
+def _beam_bits(aabb, ox, oy, oz, dx, dy, dz, live, dist, rows):
+    """Per-(ray_tile, cluster) conservative reachability bits, computed in
+    plain XLA *outside* the kernel.
+
+    Why: the original kernel branched on an in-kernel `jnp.any(slab)`
+    reduction; each vector->scalar sync costs ~1.5us on the VPU/scalar
+    boundary, and with (tiles x clusters x CGROUP) branches that sync —
+    not the triangle tests — dominated the whole intersection (measured:
+    an all-culled scene ran as slow as a no-cull one). Here each tile is
+    reduced to an interval beam (origin box x direction box) once, the
+    beam/cluster slab test runs vectorized over all pairs, and the kernel
+    branches on a *scalar* bit streamed through SMEM — no syncs.
+
+    The interval arithmetic is outward-conservative: a cluster any live
+    lane could hit within ``dist`` always gets bit 1 (over-acceptance
+    only costs speed, never correctness). Dead/padded lanes are excluded
+    via ``live`` so they never widen a beam.
+
+    Returns int32 [n_tiles, C].
+    """
+    n = ox.shape[0]
+    nt = n // (rows * LANES)
+    big = jnp.float32(3.0e38)
+    rs = lambda a: a.reshape(nt, rows * LANES)
+    lv = rs(live)
+    mn = lambda a: jnp.min(jnp.where(lv, rs(a), big), axis=1)
+    mx = lambda a: jnp.max(jnp.where(lv, rs(a), -big), axis=1)
+    ol = jnp.stack([mn(ox), mn(oy), mn(oz)], 1)[:, None, :]   # [nt,1,3]
+    oh = jnp.stack([mx(ox), mx(oy), mx(oz)], 1)[:, None, :]
+    dl = jnp.stack([mn(dx), mn(dy), mn(dz)], 1)[:, None, :]
+    dh = jnp.stack([mx(dx), mx(dy), mx(dz)], 1)[:, None, :]
+    tmax = mx(dist) if dist is not None else jnp.full((nt,), big)
+    bl = aabb[None, :, :3]                                    # [1,C,3]
+    bh = aabb[None, :, 3:6]
+
+    eps = jnp.float32(1e-12)
+    overlap = (oh >= bl) & (ol <= bh)
+    below = oh < bl
+    above = ol > bh
+    reach = overlap | (below & (dh > 0.0)) | (above & (dl < 0.0))
+    enter_b = (bl - oh) / jnp.maximum(dh, eps)
+    enter_a = (bh - ol) / jnp.minimum(dl, -eps)
+    enter = jnp.where(overlap, 0.0, jnp.where(below, enter_b, enter_a))
+    exit_p = (bh - ol) / jnp.maximum(dl, eps)
+    exit_n = (bl - oh) / jnp.minimum(dh, -eps)
+    exitt = jnp.where(dl > 0.0, exit_p,
+                      jnp.where(dh < 0.0, exit_n, big))
+    # outward float-safety margin so interval rounding can't drop a
+    # cluster a per-lane test would accept
+    enter = enter * (1.0 - 1e-5) - 1e-4
+    exitt = exitt * (1.0 + 1e-5) + 1e-4
+    t_in = jnp.max(enter, axis=2)
+    t_out = jnp.min(exitt, axis=2)
+    ok = jnp.all(reach, axis=2) & (t_in <= t_out) & \
+        (t_in <= tmax[:, None])
+    return ok.astype(jnp.int32)
 
 
 def _woop13(tri_ref, row, k):
@@ -184,8 +268,14 @@ def _slab(aabb_ref, row, rox, roy, roz, rdx, rdy, rdz, t_lim):
     return (tmin <= tmax) & (tmax >= 0.0) & (tmin < t_lim)
 
 
-def _kernel_nearest(aabb_ref, idx_ref, tri_ref, ox, oy, oz, dx, dy, dz,
+def _kernel_nearest(oct_ref, order_ref, bits_ref, idx_ref, tri_ref,
+                    ox, oy, oz, dx, dy, dz,
                     t_out, idx_out, bu_out, bv_out, *, cluster_size: int):
+    # oct_ref/order_ref are scalar-prefetch args consumed by the BlockSpec
+    # index maps (octant-ordered cluster streaming); unused in the body.
+    # bits_ref [1, CGROUP] (SMEM) carries the precomputed beam-cull bit
+    # per cluster of this block: the branch below reads a scalar — no
+    # in-kernel vector->scalar reduction (see _beam_bits).
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -203,12 +293,9 @@ def _kernel_nearest(aabb_ref, idx_ref, tri_ref, ox, oy, oz, dx, dy, dz,
     rdz = dz[...]
 
     for row in range(CGROUP):
-        t_cur = t_out[...]
-        box = _slab(aabb_ref, row, rox, roy, roz, rdx, rdy, rdz, t_cur)
-
-        @pl.when(jnp.any(box))
-        def _(row=row, t_cur=t_cur):
-            t_best = t_cur
+        @pl.when(bits_ref[0, row] != 0)
+        def _(row=row):
+            t_best = t_out[...]
             idx_best = idx_out[...]
             bu_best = bu_out[...]
             bv_best = bv_out[...]
@@ -228,7 +315,8 @@ def _kernel_nearest(aabb_ref, idx_ref, tri_ref, ox, oy, oz, dx, dy, dz,
             bv_out[...] = bv_best
 
 
-def _kernel_anyhit(aabb_ref, idx_ref, tri_ref, ox, oy, oz, dx, dy, dz,
+def _kernel_anyhit(oct_ref, order_ref, bits_ref, idx_ref, tri_ref,
+                   ox, oy, oz, dx, dy, dz,
                    dist, hit_out, *, cluster_size: int):
     c = pl.program_id(1)
 
@@ -245,12 +333,9 @@ def _kernel_anyhit(aabb_ref, idx_ref, tri_ref, ox, oy, oz, dx, dy, dz,
     rdist = dist[...]
 
     for row in range(CGROUP):
-        blocked0 = hit_out[...]
-        box = _slab(aabb_ref, row, rox, roy, roz, rdx, rdy, rdz, rdist)
-
-        @pl.when(jnp.any(box & (blocked0 == 0)))
-        def _(row=row, blocked0=blocked0):
-            blocked = blocked0
+        @pl.when(bits_ref[0, row] != 0)
+        def _(row=row):
+            blocked = hit_out[...]
             for k in range(cluster_size):
                 t, u, v, dn = _test(tri_ref, row, k, rox, roy, roz,
                                     rdx, rdy, rdz)
@@ -262,24 +347,49 @@ def _kernel_anyhit(aabb_ref, idx_ref, tri_ref, ox, oy, oz, dx, dy, dz,
             hit_out[...] = blocked
 
 
+def _tile_octants(dx, dy, dz, rows_total, rows):
+    """Direction octant id per ray tile (sign of the per-tile mean).
+    Dead lanes carry d=(0,-1,0) (see intersect._mask_rays) so all-dead
+    tiles land in a fixed octant; mixed tiles follow the majority."""
+    n_tiles = rows_total // rows
+    red = lambda a: a.reshape(n_tiles, rows * LANES).sum(axis=1)
+    sx, sy, sz = red(dx), red(dy), red(dz)
+    return ((sx < 0).astype(jnp.int32) + 2 * (sy < 0).astype(jnp.int32)
+            + 4 * (sz < 0).astype(jnp.int32))
+
+
+def _cluster_specs(rows, cluster_size):
+    """BlockSpecs for the octant-ordered (ray_tile, cluster_block) grid.
+    The first two pallas args are scalar-prefetch: tile octants [n_tiles]
+    and the per-octant block visit order [8, G]; cluster-table index maps
+    dereference them so tile i streams blocks front-to-back for its own
+    direction octant. The beam-cull bits block follows the same permuted
+    cluster order, indexed additionally by the tile."""
+    cmap = lambda i, c, oct_r, ord_r: (ord_r[oct_r[i], c], 0)
+    rmap = lambda i, c, oct_r, ord_r: (i, 0)
+    bmap = lambda i, c, oct_r, ord_r: (i, ord_r[oct_r[i], c])
+    ray_spec = lambda: pl.BlockSpec((rows, LANES), rmap,
+                                    memory_space=pltpu.VMEM)
+    bits_spec = pl.BlockSpec((1, CGROUP), bmap, memory_space=pltpu.SMEM)
+    idx_spec = pl.BlockSpec((CGROUP, cluster_size), cmap,
+                            memory_space=pltpu.SMEM)
+    tri_spec = pl.BlockSpec((CGROUP, cluster_size * WOOP_F), cmap,
+                            memory_space=pltpu.SMEM)
+    return ray_spec, bits_spec, idx_spec, tri_spec
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cluster_size", "rows", "interpret"))
-def _run_nearest(aabb, tri_idx, woop, ox, oy, oz, dx, dy, dz,
+def _run_nearest(aabb, tri_idx, woop, order, ox, oy, oz, dx, dy, dz, live,
                  cluster_size: int, rows: int, interpret: bool = False):
     n = ox.shape[0]
     rows_total = n // LANES
     grid = (rows_total // rows, aabb.shape[0] // CGROUP)
+    oct = _tile_octants(dx, dy, dz, rows_total, rows)
+    bits = _beam_bits(aabb, ox, oy, oz, dx, dy, dz, live, None, rows)
 
-    ray_spec = lambda: pl.BlockSpec((rows, LANES), lambda i, c: (i, 0),
-                                    memory_space=pltpu.VMEM)
-    aabb_spec = pl.BlockSpec((CGROUP, 8), lambda i, c: (c, 0),
-                             memory_space=pltpu.SMEM)
-    idx_spec = pl.BlockSpec((CGROUP, cluster_size),
-                            lambda i, c: (c, 0),
-                            memory_space=pltpu.SMEM)
-    tri_spec = pl.BlockSpec((CGROUP, cluster_size * WOOP_F),
-                            lambda i, c: (c, 0),
-                            memory_space=pltpu.SMEM)
+    ray_spec, bits_spec, idx_spec, tri_spec = _cluster_specs(
+        rows, cluster_size)
     rs = lambda a: a.reshape(rows_total, LANES)
     out_shape = [
         jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
@@ -290,55 +400,57 @@ def _run_nearest(aabb, tri_idx, woop, ox, oy, oz, dx, dy, dz,
     kernel = functools.partial(_kernel_nearest, cluster_size=cluster_size)
     t, idx, bu, bv = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[aabb_spec, idx_spec, tri_spec] +
-                 [ray_spec() for _ in range(6)],
-        out_specs=[ray_spec() for _ in range(4)],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[bits_spec, idx_spec, tri_spec] +
+                     [ray_spec() for _ in range(6)],
+            out_specs=[ray_spec() for _ in range(4)],
+        ),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(aabb, tri_idx, woop, rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz))
+    )(oct, order, bits, tri_idx, woop,
+      rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz))
     flat = lambda a: a.reshape(-1)
     return flat(t), flat(idx), flat(bu), flat(bv)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cluster_size", "rows", "interpret"))
-def _run_anyhit(aabb, tri_idx, woop, ox, oy, oz, dx, dy, dz, dist,
-                cluster_size: int, rows: int, interpret: bool = False):
+def _run_anyhit(aabb, tri_idx, woop, order, ox, oy, oz, dx, dy, dz, dist,
+                live, cluster_size: int, rows: int,
+                interpret: bool = False):
     n = ox.shape[0]
     rows_total = n // LANES
     grid = (rows_total // rows, aabb.shape[0] // CGROUP)
+    oct = _tile_octants(dx, dy, dz, rows_total, rows)
+    bits = _beam_bits(aabb, ox, oy, oz, dx, dy, dz, live, dist, rows)
 
-    ray_spec = lambda: pl.BlockSpec((rows, LANES), lambda i, c: (i, 0),
-                                    memory_space=pltpu.VMEM)
-    aabb_spec = pl.BlockSpec((CGROUP, 8), lambda i, c: (c, 0),
-                             memory_space=pltpu.SMEM)
-    idx_spec = pl.BlockSpec((CGROUP, cluster_size),
-                            lambda i, c: (c, 0),
-                            memory_space=pltpu.SMEM)
-    tri_spec = pl.BlockSpec((CGROUP, cluster_size * WOOP_F),
-                            lambda i, c: (c, 0),
-                            memory_space=pltpu.SMEM)
+    ray_spec, bits_spec, idx_spec, tri_spec = _cluster_specs(
+        rows, cluster_size)
     rs = lambda a: a.reshape(rows_total, LANES)
     kernel = functools.partial(_kernel_anyhit, cluster_size=cluster_size)
     hit = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[aabb_spec, idx_spec, tri_spec] +
-                 [ray_spec() for _ in range(7)],
-        out_specs=ray_spec(),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[bits_spec, idx_spec, tri_spec] +
+                     [ray_spec() for _ in range(7)],
+            out_specs=ray_spec(),
+        ),
         out_shape=jax.ShapeDtypeStruct((rows_total, LANES), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(aabb, tri_idx, woop, rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz),
-      rs(dist))
+    )(oct, order, bits, tri_idx, woop,
+      rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz), rs(dist))
     return hit.reshape(-1)
 
 
-def _kernel_transmit(aabb_ref, idx_ref, tri_ref, ox, oy, oz, dx, dy, dz,
+def _kernel_transmit(bits_ref, idx_ref, tri_ref, ox, oy, oz, dx, dy, dz,
                      dist, trans_out, *, cluster_size: int):
     """Alpha-weighted shadow transmittance: product of (1 - alpha) over
     every triangle crossed within dist (getShadowCoeffi semantics,
@@ -358,9 +470,7 @@ def _kernel_transmit(aabb_ref, idx_ref, tri_ref, ox, oy, oz, dx, dy, dz,
     rdist = dist[...]
 
     for row in range(CGROUP):
-        box = _slab(aabb_ref, row, rox, roy, roz, rdx, rdy, rdz, rdist)
-
-        @pl.when(jnp.any(box))
+        @pl.when(bits_ref[0, row] != 0)
         def _(row=row):
             trans = trans_out[...]
             for k in range(cluster_size):
@@ -376,15 +486,16 @@ def _kernel_transmit(aabb_ref, idx_ref, tri_ref, ox, oy, oz, dx, dy, dz,
 
 @functools.partial(jax.jit,
                    static_argnames=("cluster_size", "rows", "interpret"))
-def _run_transmit(aabb, tri_idx, woop, ox, oy, oz, dx, dy, dz, dist,
+def _run_transmit(aabb, tri_idx, woop, ox, oy, oz, dx, dy, dz, dist, live,
                   cluster_size: int, rows: int, interpret: bool = False):
     n = ox.shape[0]
     rows_total = n // LANES
     grid = (rows_total // rows, aabb.shape[0] // CGROUP)
+    bits = _beam_bits(aabb, ox, oy, oz, dx, dy, dz, live, dist, rows)
 
     ray_spec = lambda: pl.BlockSpec((rows, LANES), lambda i, c: (i, 0),
                                     memory_space=pltpu.VMEM)
-    aabb_spec = pl.BlockSpec((CGROUP, 8), lambda i, c: (c, 0),
+    bits_spec = pl.BlockSpec((1, CGROUP), lambda i, c: (i, c),
                              memory_space=pltpu.SMEM)
     idx_spec = pl.BlockSpec((CGROUP, cluster_size),
                             lambda i, c: (c, 0),
@@ -397,29 +508,39 @@ def _run_transmit(aabb, tri_idx, woop, ox, oy, oz, dx, dy, dz, dist,
     trans = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[aabb_spec, idx_spec, tri_spec] +
+        in_specs=[bits_spec, idx_spec, tri_spec] +
                  [ray_spec() for _ in range(7)],
         out_specs=ray_spec(),
         out_shape=jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(aabb, tri_idx, woop, rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz),
+    )(bits, tri_idx, woop, rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz),
       rs(dist))
     return trans.reshape(-1)
 
 
+def _live_mask(live, orig, n):
+    """Default live mask: everything live, except the degenerate
+    dead-lane encoding from intersect._mask_rays (origin -1e7)."""
+    if live is not None:
+        return live
+    return orig.x > jnp.float32(-9.9e6)
+
+
 def cluster_transmittance(clusters: Clusters, orig, d, dist,
                           rows: int = ROWS, sort: bool = False,
-                          interpret: bool = False):
+                          interpret: bool = False, live=None):
     """Product of (1 - alpha) over crossed triangles within dist -> [N]."""
     n = orig.x.shape[0]
+    live = _live_mask(live, orig, n)
     if sort:
         from ...utils.vec import Vec3
         perm, inv = sorted_ray_order(clusters, orig, d)
         g = lambda v: Vec3(v.x[perm], v.y[perm], v.z[perm])
         tr = cluster_transmittance(clusters, g(orig), g(d), dist[perm],
-                                   rows=rows, interpret=interpret)
+                                   rows=rows, interpret=interpret,
+                                   live=live[perm])
         return tr[inv]
     block = rows * LANES
     n_pad = -(-n // block) * block
@@ -428,7 +549,7 @@ def cluster_transmittance(clusters: Clusters, orig, d, dist,
     tr = _run_transmit(
         clusters.aabb, clusters.tri_idx, clusters.woop,
         p(orig.x), p(orig.y), p(orig.z), p(d.x), p(d.y), p(d.z), p(dist),
-        cluster_size=cs, rows=rows, interpret=interpret)
+        p(live), cluster_size=cs, rows=rows, interpret=interpret)
     if n_pad != n:
         tr = tr[:n]
     return tr
@@ -482,26 +603,30 @@ def _pad(a, n_pad, n):
 
 
 def cluster_intersect(clusters: Clusters, orig, d, rows: int = ROWS,
-                      sort: bool = False, interpret: bool = False):
+                      sort: bool = False, interpret: bool = False,
+                      live=None):
     """Nearest triangle hit -> (t, idx, bu, bv) flat [N] (idx = -1 miss).
     ``sort=True`` reorders the wavefront by octant-Morton key first
     (worth it for incoherent bounce rays; camera rays are already
-    pixel-ordered)."""
+    pixel-ordered). ``live`` (bool [N], optional): lanes to consider for
+    the beam-cull bits; defaults to the dead-lane origin encoding."""
     n = orig.x.shape[0]
+    live = _live_mask(live, orig, n)
     if sort:
         from ...utils.vec import Vec3
         perm, inv = sorted_ray_order(clusters, orig, d)
         g = lambda v: Vec3(v.x[perm], v.y[perm], v.z[perm])
         t, idx, bu, bv = cluster_intersect(clusters, g(orig), g(d),
-                                           rows=rows, interpret=interpret)
+                                           rows=rows, interpret=interpret,
+                                           live=live[perm])
         return t[inv], idx[inv], bu[inv], bv[inv]
     block = rows * LANES
     n_pad = -(-n // block) * block
     p = lambda a: _pad(a, n_pad, n)
     cs = clusters.woop.shape[1] // WOOP_F
     t, idx, bu, bv = _run_nearest(
-        clusters.aabb, clusters.tri_idx, clusters.woop,
-        p(orig.x), p(orig.y), p(orig.z), p(d.x), p(d.y), p(d.z),
+        clusters.aabb, clusters.tri_idx, clusters.woop, clusters.order,
+        p(orig.x), p(orig.y), p(orig.z), p(d.x), p(d.y), p(d.z), p(live),
         cluster_size=cs, rows=rows, interpret=interpret)
     if n_pad != n:
         t, idx, bu, bv = t[:n], idx[:n], bu[:n], bv[:n]
@@ -509,24 +634,27 @@ def cluster_intersect(clusters: Clusters, orig, d, rows: int = ROWS,
 
 
 def cluster_occluded(clusters: Clusters, orig, d, dist, rows: int = ROWS,
-                     sort: bool = False, interpret: bool = False):
+                     sort: bool = False, interpret: bool = False,
+                     live=None):
     """Any-hit within dist (endpoint epsilon guard) -> bool [N]."""
     n = orig.x.shape[0]
+    live = _live_mask(live, orig, n)
     if sort:
         from ...utils.vec import Vec3
         perm, inv = sorted_ray_order(clusters, orig, d)
         g = lambda v: Vec3(v.x[perm], v.y[perm], v.z[perm])
         hit = cluster_occluded(clusters, g(orig), g(d), dist[perm],
-                               rows=rows, interpret=interpret)
+                               rows=rows, interpret=interpret,
+                               live=live[perm])
         return hit[inv]
     block = rows * LANES
     n_pad = -(-n // block) * block
     p = lambda a: _pad(a, n_pad, n)
     cs = clusters.woop.shape[1] // WOOP_F
     hit = _run_anyhit(
-        clusters.aabb, clusters.tri_idx, clusters.woop,
+        clusters.aabb, clusters.tri_idx, clusters.woop, clusters.order,
         p(orig.x), p(orig.y), p(orig.z), p(d.x), p(d.y), p(d.z), p(dist),
-        cluster_size=cs, rows=rows, interpret=interpret)
+        p(live), cluster_size=cs, rows=rows, interpret=interpret)
     if n_pad != n:
         hit = hit[:n]
     return hit.astype(bool)
