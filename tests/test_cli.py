@@ -85,6 +85,41 @@ def test_cli_estimator_grid(config_path, tmp_path):
     assert img.shape == (32, 32, 3)
 
 
+def test_progressive_interrupted_resume(tmp_path):
+    """Fault injection: a render that dies mid-way (simulated by a first
+    run that only completes half the target spp before 'crashing') must
+    resume from its film checkpoint and finish bit-near-identical to an
+    uninterrupted single-shot render — the elastic-recovery claim of
+    render_progressive (render.py docstring). Covers the splat-based
+    light tracer too, whose checkpoint carries raw accumulators."""
+    import dataclasses as _dc
+
+    from tests.test_grad import diffuse_box
+    from tuturenderer_tpu.options import RenderOptions
+    from tuturenderer_tpu.render import render_image, render_progressive
+
+    scene, cam = diffuse_box(16)
+    for integrator, opts in [
+        ("path", RenderOptions(spp=6, max_depth=2)),
+        ("light", RenderOptions(spp=6, lt_max_depth=2)),
+    ]:
+        one = render_image(scene, cam, opts, integrator, seed=9)
+        ck = str(tmp_path / f"crash_{integrator}.npz")
+        # "crash" after 2 of 6 spp: run to a partial checkpoint and stop
+        render_progressive(scene, cam, _dc.replace(opts, spp=2), integrator,
+                           seed=9, chunk_spp=2, checkpoint_path=ck,
+                           progress=False)
+        ckd = np.load(ck)
+        assert int(ckd["spp_done"]) == 2
+        # restart the full job: it must resume at 2 spp, not restart at 0
+        prog = render_progressive(scene, cam, opts, integrator, seed=9,
+                                  chunk_spp=2, checkpoint_path=ck,
+                                  progress=False)
+        assert int(np.load(ck)["spp_done"]) == opts.spp
+        np.testing.assert_allclose(prog, one, rtol=2e-4, atol=2e-6,
+                                   err_msg=integrator)
+
+
 def test_progressive_matches_single_shot_all_integrators(tmp_path):
     """render_progressive in chunks must reproduce the single-shot render
     bit-near for EVERY integrator (counter-based RNG keyed by the global

@@ -224,6 +224,30 @@ def _beam_bits(aabb, ox, oy, oz, dx, dy, dz, live, dist, rows):
     return ok.astype(jnp.int32)
 
 
+def _pack_bits(ok):
+    """[n_tiles, C] 0/1 -> [n_tiles, ceil(C/32)] i32 with bit j%32 of
+    word j//32 carrying cluster j's reachability. Packed so the whole
+    table rides as a scalar-prefetch SMEM array (SMEM caps out near
+    256 KiB; one bit per (tile, cluster) keeps even 1M-lane x 8k-cluster
+    scenes at 32 KiB/tile-row). Kernels read one scalar word and test a
+    bit — no vector->scalar sync, no blocked-BlockSpec tiling rules."""
+    nt, c = ok.shape
+    c32 = -(-c // 32) * 32
+    if c32 != c:
+        ok = jnp.pad(ok, ((0, 0), (0, c32 - c)))
+    w = ok.reshape(nt, c32 // 32, 32).astype(jnp.uint32)
+    w = jnp.sum(w << jnp.arange(32, dtype=jnp.uint32)[None, None, :],
+                axis=2, dtype=jnp.uint32)
+    return jax.lax.bitcast_convert_type(w, jnp.int32)
+
+
+def _bit_at(bits_ref, i, j):
+    """Scalar read of packed bit j from tile i's row of _pack_bits output."""
+    word = bits_ref[i, jax.lax.shift_right_logical(j, 5)]
+    return jnp.bitwise_and(
+        jax.lax.shift_right_logical(word, jnp.bitwise_and(j, 31)), 1)
+
+
 def _woop13(tri_ref, row, k):
     base = k * WOOP_F
     return [tri_ref[row, base + j] for j in range(13)]
@@ -272,11 +296,13 @@ def _kernel_nearest(oct_ref, order_ref, bits_ref, idx_ref, tri_ref,
                     ox, oy, oz, dx, dy, dz,
                     t_out, idx_out, bu_out, bv_out, *, cluster_size: int):
     # oct_ref/order_ref are scalar-prefetch args consumed by the BlockSpec
-    # index maps (octant-ordered cluster streaming); unused in the body.
-    # bits_ref [1, CGROUP] (SMEM) carries the precomputed beam-cull bit
-    # per cluster of this block: the branch below reads a scalar — no
-    # in-kernel vector->scalar reduction (see _beam_bits).
+    # index maps (octant-ordered cluster streaming). bits_ref is the
+    # packed beam-cull bit table (_pack_bits): the branch below reads one
+    # scalar word from SMEM — no in-kernel vector->scalar reduction
+    # (see _beam_bits).
+    i = pl.program_id(0)
     c = pl.program_id(1)
+    blk = order_ref[oct_ref[i], c]
 
     @pl.when(c == 0)
     def _():
@@ -293,7 +319,7 @@ def _kernel_nearest(oct_ref, order_ref, bits_ref, idx_ref, tri_ref,
     rdz = dz[...]
 
     for row in range(CGROUP):
-        @pl.when(bits_ref[0, row] != 0)
+        @pl.when(_bit_at(bits_ref, i, blk * CGROUP + row) != 0)
         def _(row=row):
             t_best = t_out[...]
             idx_best = idx_out[...]
@@ -318,7 +344,9 @@ def _kernel_nearest(oct_ref, order_ref, bits_ref, idx_ref, tri_ref,
 def _kernel_anyhit(oct_ref, order_ref, bits_ref, idx_ref, tri_ref,
                    ox, oy, oz, dx, dy, dz,
                    dist, hit_out, *, cluster_size: int):
+    i = pl.program_id(0)
     c = pl.program_id(1)
+    blk = order_ref[oct_ref[i], c]
 
     @pl.when(c == 0)
     def _():
@@ -333,7 +361,7 @@ def _kernel_anyhit(oct_ref, order_ref, bits_ref, idx_ref, tri_ref,
     rdist = dist[...]
 
     for row in range(CGROUP):
-        @pl.when(bits_ref[0, row] != 0)
+        @pl.when(_bit_at(bits_ref, i, blk * CGROUP + row) != 0)
         def _(row=row):
             blocked = hit_out[...]
             for k in range(cluster_size):
@@ -360,22 +388,21 @@ def _tile_octants(dx, dy, dz, rows_total, rows):
 
 def _cluster_specs(rows, cluster_size):
     """BlockSpecs for the octant-ordered (ray_tile, cluster_block) grid.
-    The first two pallas args are scalar-prefetch: tile octants [n_tiles]
-    and the per-octant block visit order [8, G]; cluster-table index maps
-    dereference them so tile i streams blocks front-to-back for its own
-    direction octant. The beam-cull bits block follows the same permuted
-    cluster order, indexed additionally by the tile."""
-    cmap = lambda i, c, oct_r, ord_r: (ord_r[oct_r[i], c], 0)
-    rmap = lambda i, c, oct_r, ord_r: (i, 0)
-    bmap = lambda i, c, oct_r, ord_r: (i, ord_r[oct_r[i], c])
+    The first three pallas args are scalar-prefetch: tile octants
+    [n_tiles], the per-octant block visit order [8, G], and the packed
+    beam-cull bit table [n_tiles, ceil(C/32)] (_pack_bits); the
+    cluster-table index maps dereference the first two so tile i streams
+    blocks front-to-back for its own direction octant, and the kernel
+    body tests bits straight out of SMEM."""
+    cmap = lambda i, c, oct_r, ord_r, bits_r: (ord_r[oct_r[i], c], 0)
+    rmap = lambda i, c, oct_r, ord_r, bits_r: (i, 0)
     ray_spec = lambda: pl.BlockSpec((rows, LANES), rmap,
                                     memory_space=pltpu.VMEM)
-    bits_spec = pl.BlockSpec((1, CGROUP), bmap, memory_space=pltpu.SMEM)
     idx_spec = pl.BlockSpec((CGROUP, cluster_size), cmap,
                             memory_space=pltpu.SMEM)
     tri_spec = pl.BlockSpec((CGROUP, cluster_size * WOOP_F), cmap,
                             memory_space=pltpu.SMEM)
-    return ray_spec, bits_spec, idx_spec, tri_spec
+    return ray_spec, idx_spec, tri_spec
 
 
 @functools.partial(jax.jit,
@@ -386,10 +413,10 @@ def _run_nearest(aabb, tri_idx, woop, order, ox, oy, oz, dx, dy, dz, live,
     rows_total = n // LANES
     grid = (rows_total // rows, aabb.shape[0] // CGROUP)
     oct = _tile_octants(dx, dy, dz, rows_total, rows)
-    bits = _beam_bits(aabb, ox, oy, oz, dx, dy, dz, live, None, rows)
+    bits = _pack_bits(_beam_bits(aabb, ox, oy, oz, dx, dy, dz, live,
+                                 None, rows))
 
-    ray_spec, bits_spec, idx_spec, tri_spec = _cluster_specs(
-        rows, cluster_size)
+    ray_spec, idx_spec, tri_spec = _cluster_specs(rows, cluster_size)
     rs = lambda a: a.reshape(rows_total, LANES)
     out_shape = [
         jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
@@ -401,9 +428,9 @@ def _run_nearest(aabb, tri_idx, woop, order, ox, oy, oz, dx, dy, dz, live,
     t, idx, bu, bv = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
-            in_specs=[bits_spec, idx_spec, tri_spec] +
+            in_specs=[idx_spec, tri_spec] +
                      [ray_spec() for _ in range(6)],
             out_specs=[ray_spec() for _ in range(4)],
         ),
@@ -426,18 +453,18 @@ def _run_anyhit(aabb, tri_idx, woop, order, ox, oy, oz, dx, dy, dz, dist,
     rows_total = n // LANES
     grid = (rows_total // rows, aabb.shape[0] // CGROUP)
     oct = _tile_octants(dx, dy, dz, rows_total, rows)
-    bits = _beam_bits(aabb, ox, oy, oz, dx, dy, dz, live, dist, rows)
+    bits = _pack_bits(_beam_bits(aabb, ox, oy, oz, dx, dy, dz, live,
+                                 dist, rows))
 
-    ray_spec, bits_spec, idx_spec, tri_spec = _cluster_specs(
-        rows, cluster_size)
+    ray_spec, idx_spec, tri_spec = _cluster_specs(rows, cluster_size)
     rs = lambda a: a.reshape(rows_total, LANES)
     kernel = functools.partial(_kernel_anyhit, cluster_size=cluster_size)
     hit = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
-            in_specs=[bits_spec, idx_spec, tri_spec] +
+            in_specs=[idx_spec, tri_spec] +
                      [ray_spec() for _ in range(7)],
             out_specs=ray_spec(),
         ),
@@ -454,7 +481,11 @@ def _kernel_transmit(bits_ref, idx_ref, tri_ref, ox, oy, oz, dx, dy, dz,
                      dist, trans_out, *, cluster_size: int):
     """Alpha-weighted shadow transmittance: product of (1 - alpha) over
     every triangle crossed within dist (getShadowCoeffi semantics,
-    BVHStrategy.hpp:13-45). Same accept rule as the any-hit kernel."""
+    BVHStrategy.hpp:13-45). Same accept rule as the any-hit kernel.
+    bits_ref is the packed scalar-prefetch cull table (_pack_bits);
+    blocks stream in natural order (no octant sort: every triangle
+    within dist contributes, so there is no early-out to order for)."""
+    i = pl.program_id(0)
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -470,7 +501,7 @@ def _kernel_transmit(bits_ref, idx_ref, tri_ref, ox, oy, oz, dx, dy, dz,
     rdist = dist[...]
 
     for row in range(CGROUP):
-        @pl.when(bits_ref[0, row] != 0)
+        @pl.when(_bit_at(bits_ref, i, c * CGROUP + row) != 0)
         def _(row=row):
             trans = trans_out[...]
             for k in range(cluster_size):
@@ -491,26 +522,29 @@ def _run_transmit(aabb, tri_idx, woop, ox, oy, oz, dx, dy, dz, dist, live,
     n = ox.shape[0]
     rows_total = n // LANES
     grid = (rows_total // rows, aabb.shape[0] // CGROUP)
-    bits = _beam_bits(aabb, ox, oy, oz, dx, dy, dz, live, dist, rows)
+    bits = _pack_bits(_beam_bits(aabb, ox, oy, oz, dx, dy, dz, live,
+                                 dist, rows))
 
-    ray_spec = lambda: pl.BlockSpec((rows, LANES), lambda i, c: (i, 0),
+    ray_spec = lambda: pl.BlockSpec((rows, LANES),
+                                    lambda i, c, bits_r: (i, 0),
                                     memory_space=pltpu.VMEM)
-    bits_spec = pl.BlockSpec((1, CGROUP), lambda i, c: (i, c),
-                             memory_space=pltpu.SMEM)
     idx_spec = pl.BlockSpec((CGROUP, cluster_size),
-                            lambda i, c: (c, 0),
+                            lambda i, c, bits_r: (c, 0),
                             memory_space=pltpu.SMEM)
     tri_spec = pl.BlockSpec((CGROUP, cluster_size * WOOP_F),
-                            lambda i, c: (c, 0),
+                            lambda i, c, bits_r: (c, 0),
                             memory_space=pltpu.SMEM)
     rs = lambda a: a.reshape(rows_total, LANES)
     kernel = functools.partial(_kernel_transmit, cluster_size=cluster_size)
     trans = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[bits_spec, idx_spec, tri_spec] +
-                 [ray_spec() for _ in range(7)],
-        out_specs=ray_spec(),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[idx_spec, tri_spec] +
+                     [ray_spec() for _ in range(7)],
+            out_specs=ray_spec(),
+        ),
         out_shape=jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
