@@ -199,3 +199,45 @@ def test_alpha_shadows_render_option():
     assert img_soft.mean() > img_opaque.mean() + 1e-4
     np.testing.assert_allclose(img_opaque.mean(), img_binary.mean(),
                                rtol=0.25)
+
+
+def test_batched_spp_render_matches_unbatched():
+    """samples_per_launch batches spp into one wavefront purely for ray
+    coherence; the counter-based RNG keys on (pixel, sample) so the image
+    must be identical to the one-sample-per-launch schedule."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tuturenderer_tpu.integrators.path import render
+    from tuturenderer_tpu.options import RenderOptions
+    from tuturenderer_tpu.scene.presets import cornell_box
+
+    scene, cam = cornell_box(width=32, height=32)
+    o1 = RenderOptions(spp=4, max_depth=2)
+    o2 = dataclasses.replace(o1, samples_per_launch=4)
+    a = np.asarray(render(scene, cam, o1, 7))
+    b = np.asarray(render(scene, cam, o2, 7))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_compaction_overflow_is_unbiased_not_silent_drop():
+    """An undersized compaction buffer must not silently lose energy: the
+    overflow policy keeps a random lane subset upweighted by cnt/k
+    (stochastic lane roulette). In a closed box nearly every lane stays
+    live past bounce 1, so a 0.25 buffer overflows massively; the mean
+    image must still match the uncompacted render to MC noise."""
+    import dataclasses
+
+    from tuturenderer_tpu.integrators.path import render
+    from tuturenderer_tpu.options import RenderOptions
+    from tuturenderer_tpu.scene.presets import cornell_box
+
+    scene, cam = cornell_box(width=32, height=32)
+    base = RenderOptions(spp=32, max_depth=3)
+    over = dataclasses.replace(base, compaction=(1.0, 0.25))
+    a = np.asarray(render(scene, cam, base, 3))
+    b = np.asarray(render(scene, cam, over, 3))
+    assert np.isfinite(b).all()
+    # unbiased but higher-variance: means agree within a few percent
+    assert abs(b.mean() - a.mean()) / a.mean() < 0.05, (a.mean(), b.mean())

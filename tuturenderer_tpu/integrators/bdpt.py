@@ -251,12 +251,75 @@ def _proj_pdf(params: MatParams, wi: Vec3, wo: Vec3, ns: Vec3, ng: Vec3,
     return p / jnp.maximum(jnp.abs(wi.dot(ng)), 1e-20)
 
 
+def mis_end_requests(cam: Camera, ep, lp, s: int, t: int):
+    """The connection-end _proj_pdf evaluations strategy (s,t) needs
+    (BDPT.hpp:82-142), expressed as deferred requests so every strategy's
+    material dispatch compiles as ONE stacked bxdf_pdf call instead of
+    ~4 per strategy (the round-2 unroll made Veach's XLA compile take >10
+    minutes). Returns (requests, finish) where ``requests`` is a list of
+    (params, wi, wo, ns, ng) tuples and ``finish(pdfs)`` consumes the
+    resolved projected pdfs (same order) and returns the end-pdf dict."""
+    n = ep[0]['valid'].shape[0]
+    if s + t == 2 or s == 0:
+        return [], lambda pdfs: None
+
+    s_end = lp[s - 1]
+    t_end = ep[t - 1]
+    g_connect = geo(s_end['pos'], s_end['ng'], t_end['pos'], t_end['ng'])
+    if t == 1:
+        cam2s = (s_end['pos'] - t_end['pos']).normalized(1e-20)
+        camcos = t_end['ng'].dot(cam2s)
+        dist = cam.image_plane_dist / jnp.maximum(camcos, 1e-20)
+        pdf_t_fwd = (cam.film_area_inv * dist * dist /
+                     jnp.maximum(camcos, 1e-20)) / jnp.maximum(camcos, 1e-20)
+        pdf_t_rev = jnp.zeros((n,)) + cam.lens_area_inv
+        s2prev = (lp[s - 2]['pos'] - s_end['pos']).normalized(1e-20)
+        reqs = [(s_end['params'], -cam2s, s2prev, s_end['ns'], s_end['ng']),
+                (s_end['params'], s2prev, -cam2s, s_end['ns'], s_end['ng'])]
+
+        def finish(pdfs):
+            return dict(pdf_s_fwd=pdfs[0], pdf_s_rev=pdfs[1],
+                        pdf_t_fwd=pdf_t_fwd, pdf_t_rev=pdf_t_rev,
+                        g_connect=g_connect)
+        return reqs, finish
+    if s == 1:
+        l2t = (t_end['pos'] - s_end['pos']).normalized(1e-20)
+        pdf_s_fwd = jnp.full((n,), 1.0 / PI)
+        pdf_s_rev = s_end['rev']     # pickpdf stash
+        t2prev = (ep[t - 2]['pos'] - t_end['pos']).normalized(1e-20)
+        reqs = [(t_end['params'], -l2t, t2prev, t_end['ns'], t_end['ng']),
+                (t_end['params'], t2prev, -l2t, t_end['ns'], t_end['ng'])]
+
+        def finish(pdfs):
+            return dict(pdf_s_fwd=pdf_s_fwd, pdf_s_rev=pdf_s_rev,
+                        pdf_t_fwd=pdfs[0], pdf_t_rev=pdfs[1],
+                        g_connect=g_connect)
+        return reqs, finish
+    s2t = (t_end['pos'] - s_end['pos']).normalized(1e-20)
+    s2prev = (lp[s - 2]['pos'] - s_end['pos']).normalized(1e-20)
+    t2prev = (ep[t - 2]['pos'] - t_end['pos']).normalized(1e-20)
+    reqs = [(s_end['params'], s2t, s2prev, s_end['ns'], s_end['ng']),
+            (s_end['params'], s2prev, s2t, s_end['ns'], s_end['ng']),
+            (t_end['params'], -s2t, t2prev, t_end['ns'], t_end['ng']),
+            (t_end['params'], t2prev, -s2t, t_end['ns'], t_end['ng'])]
+
+    def finish(pdfs):
+        return dict(pdf_s_fwd=pdfs[0], pdf_s_rev=pdfs[1],
+                    pdf_t_fwd=pdfs[2], pdf_t_rev=pdfs[3],
+                    g_connect=g_connect)
+    return reqs, finish
+
+
 def mis_weight(scene, cam: Camera, ep, lp, s: int, t: int, eta_scene,
-               weight_kill: bool = True):
+               weight_kill: bool = True, end_pdfs=None):
     """Power-heuristic MIS weight for strategy (s,t) — BDPT.hpp:70-222,
     fully unrolled for static s,t. ``weight_kill`` reproduces the
     reference's small-weight zeroing (BDPT.hpp:218-219); off, only
-    NaN/inf weights are killed and the weights partition unity exactly."""
+    NaN/inf weights are killed and the weights partition unity exactly.
+
+    ``end_pdfs``: precomputed connection-end pdf dict from
+    mis_end_requests/finish; if None (s == 0 or s+t == 2) the ends are
+    derived analytically here."""
     n = ep[0]['valid'].shape[0]
     if s + t == 2:
         return jnp.ones((n,))
@@ -264,50 +327,24 @@ def mis_weight(scene, cam: Camera, ep, lp, s: int, t: int, eta_scene,
     k = s + t - 1
     # ---- connection-end pdfs
     if s == 0:
-        lp_prev = ep[t - 2]
         lv = ep[t - 1]
-        wo = (lp_prev['pos'] - lv['pos']).normalized(1e-20)
         pick = light_pdf_of_hit_vertex(scene, lv)
         pdf_t_fwd = pick
         pdf_t_rev = jnp.full((n,), 1.0 / PI)
         pdf_s_fwd = pdf_s_rev = g_connect = None
     else:
-        s_end = lp[s - 1]
-        t_end = ep[t - 1]
-        g_connect = geo(s_end['pos'], s_end['ng'], t_end['pos'], t_end['ng'])
-        if t == 1:
-            cam2s = (s_end['pos'] - t_end['pos']).normalized(1e-20)
-            camcos = t_end['ng'].dot(cam2s)
-            dist = cam.image_plane_dist / jnp.maximum(camcos, 1e-20)
-            pdf_t_fwd = (cam.film_area_inv * dist * dist /
-                         jnp.maximum(camcos, 1e-20)) / jnp.maximum(camcos, 1e-20)
-            pdf_t_rev = jnp.zeros((n,)) + cam.lens_area_inv
-            s2prev = (lp[s - 2]['pos'] - s_end['pos']).normalized(1e-20)
-            pdf_s_fwd = _proj_pdf(s_end['params'], -cam2s, s2prev,
-                                  s_end['ns'], s_end['ng'], eta_scene, types=scene.mtype_set)
-            pdf_s_rev = _proj_pdf(s_end['params'], s2prev, -cam2s,
-                                  s_end['ns'], s_end['ng'], eta_scene, types=scene.mtype_set)
-        elif s == 1:
-            l2t = (t_end['pos'] - s_end['pos']).normalized(1e-20)
-            pdf_s_fwd = jnp.full((n,), 1.0 / PI)
-            pdf_s_rev = s_end['rev']     # pickpdf stash
-            t2prev = (ep[t - 2]['pos'] - t_end['pos']).normalized(1e-20)
-            pdf_t_fwd = _proj_pdf(t_end['params'], -l2t, t2prev,
-                                  t_end['ns'], t_end['ng'], eta_scene, types=scene.mtype_set)
-            pdf_t_rev = _proj_pdf(t_end['params'], t2prev, -l2t,
-                                  t_end['ns'], t_end['ng'], eta_scene, types=scene.mtype_set)
-        else:
-            s2t = (t_end['pos'] - s_end['pos']).normalized(1e-20)
-            s2prev = (lp[s - 2]['pos'] - s_end['pos']).normalized(1e-20)
-            t2prev = (ep[t - 2]['pos'] - t_end['pos']).normalized(1e-20)
-            pdf_s_fwd = _proj_pdf(s_end['params'], s2t, s2prev,
-                                  s_end['ns'], s_end['ng'], eta_scene, types=scene.mtype_set)
-            pdf_s_rev = _proj_pdf(s_end['params'], s2prev, s2t,
-                                  s_end['ns'], s_end['ng'], eta_scene, types=scene.mtype_set)
-            pdf_t_fwd = _proj_pdf(t_end['params'], -s2t, t2prev,
-                                  t_end['ns'], t_end['ng'], eta_scene, types=scene.mtype_set)
-            pdf_t_rev = _proj_pdf(t_end['params'], t2prev, -s2t,
-                                  t_end['ns'], t_end['ng'], eta_scene, types=scene.mtype_set)
+        if end_pdfs is None:
+            # standalone call (tests / debug harness): resolve the end
+            # pdf requests inline instead of through the batched phase
+            reqs, fin = mis_end_requests(cam, ep, lp, s, t)
+            end_pdfs = fin([_proj_pdf(p, wi, wo, ns, ng, eta_scene,
+                                      types=scene.mtype_set)
+                            for (p, wi, wo, ns, ng) in reqs])
+        pdf_s_fwd = end_pdfs['pdf_s_fwd']
+        pdf_s_rev = end_pdfs['pdf_s_rev']
+        pdf_t_fwd = end_pdfs['pdf_t_fwd']
+        pdf_t_rev = end_pdfs['pdf_t_rev']
+        g_connect = end_pdfs['g_connect']
 
     # ---- mis nodes (BDPT.hpp:147-185)
     toward_light = [None] * (s + t)
@@ -416,6 +453,26 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
         unlit = v1['valid'] & (v1['params'].mtype == UNLIT)
         estimate = estimate + vwhere(unlit, v1['params'].diffuse, _zeros3(n))
 
+    # ---- phase A: enumerate strategies, queueing every material dispatch
+    # (bxdf_eval / connection-end bxdf_pdf) instead of instantiating it
+    # inline — ~27 strategies x ~6 dispatches collapse into THREE stacked
+    # calls in phase B, which is what keeps the XLA program (and its
+    # compile time) small. s=0 strategies have no material dispatch and
+    # are finished inline.
+    pdf_reqs: List = []        # (params, wi, wo, ns, ng) -> projected pdf
+    eval_reqs: List = []       # (params, wi, wo, ng, ns), adjoint=False
+    aeval_reqs: List = []      # same, adjoint=True
+    records: List[Dict] = []
+
+    def q_pdf(reqs):
+        i0 = len(pdf_reqs)
+        pdf_reqs.extend(reqs)
+        return i0
+
+    def q_eval(queue, params, wi, wo, ng, ns):
+        queue.append((params, wi, wo, ng, ns))
+        return len(queue) - 1
+
     for path_length in range(1, max_len + 1):
         for s in range(0, path_length + 1):
             t = path_length + 1 - s
@@ -462,33 +519,25 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
                 orig = lv['pos']
                 wi = (Vec3(cam.position.x - orig.x, cam.position.y - orig.y,
                            cam.position.z - orig.z)).normalized(1e-20)
-                if s == 1:
-                    bsdf = _ones3(n)
-                    inside = jnp.zeros((n,), bool)
-                else:
-                    wo = (lp[s - 2]['pos'] - lv['pos']).normalized(1e-20)
-                    inside = wi.dot(lv['ns']) < 0.0
-                    bsdf = bxdf_eval(lv['params'], wi, wo, lv['ng'], lv['ns'],
-                                     eta_scene, adjoint=True,
-                                     types=scene.mtype_set)
+                wo = (lp[s - 2]['pos'] - lv['pos']).normalized(1e-20)
+                inside = wi.dot(lv['ns']) < 0.0
+                bsdf_q = q_eval(aeval_reqs, lv['params'], wi, wo,
+                                lv['ng'], lv['ns'])
                 g = geo(cam.position, cam.fwd, lv['pos'], lv['ng'])
                 we_v, idx = importance_we(cam, lv['pos'])
-                contrib = l_emission * bsdf * lv['tp'] * (g * we_v / opts.spp)
-                w = strategy_weight(mis_weight(scene, cam, ep, lp, s, t, eta_scene,
-                                                    opts.tutu_bdpt_weight_kill))
-                ls_ns = lv['ns'] if s > 1 else lv['ng']
-                oo = lv['pos'] + vwhere(inside, -ls_ns, ls_ns) * EPSILON
+                oo = lv['pos'] + vwhere(inside, -lv['ns'], lv['ns']) * EPSILON
                 toc = Vec3(cam.position.x - oo.x, cam.position.y - oo.y,
                            cam.position.z - oo.z)
                 dc = toc.norm()
                 front = wi.dot(cam.fwd) < 0.0
                 ok = ok & front & (idx >= 0)
-                zero_c = (contrib.x == 0) & (contrib.y == 0) & (contrib.z == 0)
-                ok = ok & ~zero_c
                 q = queue_occlusion(oo, toc * (1.0 / jnp.maximum(dc, 1e-20)),
                                     dc, ok)
-                pending.append(dict(kind='splat', ok=ok, q=q, idx=idx,
-                                    rgb=contrib * w))
+                reqs, fin = mis_end_requests(cam, ep, lp, s, t)
+                records.append(dict(
+                    kind='splat', s=s, t=t, ok=ok, q=q, idx=idx,
+                    prefac=l_emission * lv['tp'] * (g * we_v / opts.spp),
+                    bsdf_q=bsdf_q, pdf_i0=q_pdf(reqs), fin=fin))
                 continue
 
             # general connection strategy (BDPT.hpp:836-885)
@@ -499,37 +548,90 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
             ok = lv['valid'] & ev['valid'] & ~ev['params'].emissive
             connect = (ev['pos'] - lv['pos']).normalized(1e-20)
             e_wo = (ep[t - 2]['pos'] - ev['pos']).normalized(1e-20)
-            ev_bsdf = bxdf_eval(ev['params'], -connect, e_wo, ev['ng'],
-                                ev['ns'], eta_scene, types=scene.mtype_set)
+            ev_q = q_eval(eval_reqs, ev['params'], -connect, e_wo,
+                          ev['ng'], ev['ns'])
             if s == 1:
                 facing = connect.dot(lv['ns']) >= 0.0
-                lv_bsdf = vwhere(facing, _ones3(n), _zeros3(n))
-                l_wo = None
-            else:
-                l_wo = (lp[s - 2]['pos'] - lv['pos']).normalized(1e-20)
-                lv_bsdf = bxdf_eval(lv['params'], connect, l_wo, lv['ng'],
-                                    lv['ns'], eta_scene, adjoint=True,
-                                    types=scene.mtype_set)
-            e_inside = e_wo.dot(ev['ns']) < 0.0
-            e_orig = ev['pos'] + vwhere(e_inside, -ev['ns'], ev['ns']) * EPSILON
-            if s == 1:
+                lv_q = None
                 l_orig = lv['pos'] + lv['ns'] * EPSILON
             else:
+                facing = None
+                l_wo = (lp[s - 2]['pos'] - lv['pos']).normalized(1e-20)
+                lv_q = q_eval(aeval_reqs, lv['params'], connect, l_wo,
+                              lv['ng'], lv['ns'])
                 l_inside = l_wo.dot(lv['ns']) < 0.0
                 l_orig = lv['pos'] + vwhere(l_inside, -lv['ns'], lv['ns']) * EPSILON
+            e_inside = e_wo.dot(ev['ns']) < 0.0
+            e_orig = ev['pos'] + vwhere(e_inside, -ev['ns'], ev['ns']) * EPSILON
             g = geo(ev['pos'], ev['ng'], lv['pos'], lv['ng'])
-            contrib = ev['tp'] * ev_bsdf * lv['tp'] * lv_bsdf * \
-                l_emission * (g * we_pix)
-            zero_c = (contrib.x == 0) & (contrib.y == 0) & (contrib.z == 0)
-            ok = ok & ~zero_c
             seg = l_orig - e_orig
             seg_len = seg.norm()
             q = queue_occlusion(e_orig,
                                 seg * (1.0 / jnp.maximum(seg_len, 1e-20)),
                                 seg_len, ok)
-            w = strategy_weight(mis_weight(scene, cam, ep, lp, s, t, eta_scene,
-                                                    opts.tutu_bdpt_weight_kill))
-            pending.append(dict(kind='est', ok=ok, q=q, rgb=contrib * w))
+            reqs, fin = mis_end_requests(cam, ep, lp, s, t)
+            records.append(dict(
+                kind='est', s=s, t=t, ok=ok, q=q,
+                prefac=ev['tp'] * lv['tp'] * l_emission * (g * we_pix),
+                ev_q=ev_q, lv_q=lv_q, facing=facing,
+                pdf_i0=q_pdf(reqs), fin=fin))
+
+    # ---- phase B: resolve the queues with one stacked dispatch each
+    def _stack(tuples):
+        params = jax.tree.map(lambda *xs: jnp.concatenate(xs),
+                              *[r[0] for r in tuples])
+        vec = lambda j: Vec3(
+            jnp.concatenate([r[j].x for r in tuples]),
+            jnp.concatenate([r[j].y for r in tuples]),
+            jnp.concatenate([r[j].z for r in tuples]))
+        return params, vec(1), vec(2), vec(3), vec(4)
+
+    proj_pdfs: List = []
+    if pdf_reqs:
+        params_b, wi_b, wo_b, ns_b, ng_b = _stack(pdf_reqs)
+        p_all = bxdf_pdf(params_b, wi_b, wo_b, ns_b, eta_scene,
+                         params_b.eta, types=scene.mtype_set)
+        p_all = p_all / jnp.maximum(jnp.abs(wi_b.dot(ng_b)), 1e-20)
+        proj_pdfs = [p_all[i * n:(i + 1) * n] for i in range(len(pdf_reqs))]
+
+    def _resolve_evals(reqs, adjoint):
+        if not reqs:
+            return []
+        params_b, wi_b, wo_b, ng_b, ns_b = _stack(reqs)
+        f = bxdf_eval(params_b, wi_b, wo_b, ng_b, ns_b, eta_scene,
+                      adjoint=adjoint, types=scene.mtype_set)
+        return [Vec3(f.x[i * n:(i + 1) * n], f.y[i * n:(i + 1) * n],
+                     f.z[i * n:(i + 1) * n]) for i in range(len(reqs))]
+
+    evals = _resolve_evals(eval_reqs, False)
+    aevals = _resolve_evals(aeval_reqs, True)
+
+    # ---- phase C: finish each strategy with its resolved values
+    for rec in records:
+        s, t = rec['s'], rec['t']
+        n_req = 2 if (t == 1 or s == 1) else 4
+        end = rec['fin'](proj_pdfs[rec['pdf_i0']:rec['pdf_i0'] + n_req])
+        w = strategy_weight(mis_weight(scene, cam, ep, lp, s, t, eta_scene,
+                                       opts.tutu_bdpt_weight_kill,
+                                       end_pdfs=end))
+        if rec['kind'] == 'splat':
+            contrib = rec['prefac'] * aevals[rec['bsdf_q']]
+            ok = rec['ok'] & ~((contrib.x == 0) & (contrib.y == 0) &
+                               (contrib.z == 0))
+            rec['ok'] = ok
+            occl_mask[rec['q']] = ok
+            pending.append(dict(kind='splat', ok=ok, q=rec['q'],
+                                idx=rec['idx'], rgb=contrib * w))
+        else:
+            lv_bsdf = _ones3(n) if rec['lv_q'] is None else aevals[rec['lv_q']]
+            if rec['facing'] is not None:
+                lv_bsdf = vwhere(rec['facing'], lv_bsdf, _zeros3(n))
+            contrib = rec['prefac'] * evals[rec['ev_q']] * lv_bsdf
+            ok = rec['ok'] & ~((contrib.x == 0) & (contrib.y == 0) &
+                               (contrib.z == 0))
+            occl_mask[rec['q']] = ok
+            pending.append(dict(kind='est', ok=ok, q=rec['q'],
+                                rgb=contrib * w))
 
     # ---- batched any-hit pass over every queued connection shadow ray
     if occl_o:

@@ -128,6 +128,12 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
     # emission and cosine terms (see module docstring / grad.py)
     sg = jax.lax.stop_gradient if opts.differentiable else (lambda x: x)
 
+    # per-lane sample index: scalar for single-sample launches, a vector
+    # when the caller batches several spp into one wavefront (the RNG
+    # stream stays keyed by (seed, pixel-lane, sample) either way, so a
+    # batched render equals the sum of its per-sample renders bit-exactly)
+    smp = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.int32), (n,))
+
     state = dict(
         o=orig, d=d,
         L=_zeros3(n),
@@ -141,7 +147,9 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         w_cont=_zeros3(n),                  # weight if path continues
         cont_ok=jnp.zeros((n,), bool),      # RR survived + divisor gates
         em_ok=jnp.zeros((n,), bool),
-        lane=lane,                          # original lane id (RNG/film key)
+        lane=lane,                          # original lane id (RNG key)
+        smp=smp,                            # per-lane sample id (RNG key)
+        fkey=jnp.arange(n, dtype=jnp.int32),   # film slot (compaction flush)
     )
 
     def bounce(state, depth):
@@ -154,7 +162,7 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         z3 = _zeros3(nn)
         one = jnp.ones((nn,))
 
-        u = lambda purpose: rng.uniform(seed, state['lane'], sample_idx,
+        u = lambda purpose: rng.uniform(seed, state['lane'], state['smp'],
                                         depth, purpose)
 
         core = intersect_core(scene, o, d, mask=alive)
@@ -341,7 +349,7 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
             prev_mirror1=(params.mtype == PERFECT_REFLECTIVE) & (mat_pdf == 1.0),
             w_em=w_em, w_cont=w_cont,
             cont_ok=cont_ok & alive, em_ok=em_ok & alive,
-            lane=state['lane'],
+            lane=state['lane'], smp=state['smp'], fkey=state['fkey'],
         )
         return new_state, None
 
@@ -387,7 +395,8 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
             tp=Vec3(jnp.ones((n,)), jnp.ones((n,)), jnp.ones((n,))),
             alive=jnp.ones((n,), bool),
             from_kind=jnp.full((n,), FROM_CAMERA, jnp.int32),
-            lane=lane,
+            lane=lane, smp=smp,
+            fkey=jnp.arange(n, dtype=jnp.int32),
         )
 
         def bounce(state, depth):   # noqa: F811 — NEE-mode replacement
@@ -400,8 +409,8 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
             z3 = _zeros3(nn)
             one = jnp.ones((nn,))
 
-            u = lambda purpose: rng.uniform(seed, state['lane'], sample_idx,
-                                            depth, purpose)
+            u = lambda purpose: rng.uniform(seed, state['lane'],
+                                            state['smp'], depth, purpose)
 
             core = intersect_core(scene, o, d, mask=alive)
             hit = shade_hit(scene, o, d, core)
@@ -561,7 +570,7 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
             new_state = dict(
                 o=ray_o, d=wi, L=L, w=w_next, tp=tp_next,
                 alive=alive_next, from_kind=new_from,
-                lane=state['lane'],
+                lane=state['lane'], smp=state['smp'], fkey=state['fkey'],
             )
             return new_state, None
 
@@ -601,19 +610,43 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
     film = (jnp.zeros((n,)), jnp.zeros((n,)), jnp.zeros((n,)))
 
     def flush(film, state):
-        ids = state['lane']
+        ids = state['fkey']
         return ((film[0].at[ids].add(state['L'].x, mode='drop'),
                  film[1].at[ids].add(state['L'].y, mode='drop'),
                  film[2].at[ids].add(state['L'].z, mode='drop')))
 
-    def compact(state, k):
+    def compact(state, k, depth):
+        """Shrink the wavefront to k lanes. If more than k lanes are live
+        (the schedule under-predicted), a uniformly random k-subset
+        survives and is upweighted by cnt/k — stochastic lane roulette, an
+        UNBIASED overflow policy (inclusion probability k/cnt exactly
+        compensated), unlike the silent energy loss of truncation. A
+        runtime warning is printed when it engages."""
         alive = state['alive']
+        nn = alive.shape[0]
         cnt = jnp.sum(alive.astype(jnp.int32))
-        pos = jnp.nonzero(alive, size=k, fill_value=0)[0]
+        pri = rng.uniform(seed, state['lane'], state['smp'], depth,
+                          rng.COMPACT)
+        key = jnp.where(alive, pri, 2.0)
+        order = jnp.argsort(key)
+        pos = order[:k]
         valid = jnp.arange(k) < cnt
         new = jax.tree.map(lambda a: a[pos], state)
         new['alive'] = new['alive'] & valid
         new['L'] = _zeros3(k)
+        over = cnt > k
+        jax.lax.cond(
+            over,
+            lambda: jax.debug.print(
+                "tuturenderer_tpu: compaction overflow at depth {d}: {c} "
+                "live lanes > buffer {k}; surviving lanes upweighted "
+                "(unbiased) — widen opts.compaction for lower variance",
+                d=depth, c=cnt, k=k),
+            lambda: None)
+        factor = jnp.where(over, cnt.astype(jnp.float32) / k, 1.0)
+        for f in ('w', 'w_em', 'w_cont'):
+            if f in new:
+                new[f] = new[f] * factor
         return new
 
     # group consecutive equal fractions into segments so each segment is a
@@ -633,11 +666,11 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         k = min(int(-(-int(n * frac) // 1024) * 1024), n)
         if k < cur['o'].x.shape[0]:
             film = flush(film, cur)
-            cur = compact(cur, k)
+            cur = compact(cur, k, depths[0])
         cur, _ = jax.lax.scan(bounce_body, cur,
                               jnp.asarray(depths, dtype=jnp.int32))
     L_final = epilogue(cur)
-    ids = cur['lane']
+    ids = cur['fkey']
     film = (film[0].at[ids].add(L_final.x, mode='drop'),
             film[1].at[ids].add(L_final.y, mode='drop'),
             film[2].at[ids].add(L_final.z, mode='drop'))
@@ -658,24 +691,49 @@ def render_sample(scene: SceneData, cam: Camera, px, py, lane, sample_idx,
     return vwhere(bad, _zeros3(px.shape[0]), L)
 
 
+def _block_order(width: int, height: int, block: int = 32):
+    """Pixel visit order in (block x block) screen tiles. Consecutive
+    groups of block^2 lanes then cover one compact screen square, so the
+    1024-lane ray tiles of the cluster intersector get tight beams —
+    row-major order would hand it full-width strips that cull nothing."""
+    import numpy as np
+    ys, xs = np.mgrid[0:height, 0:width]
+    bw = -(-width // block)
+    key = ((ys // block) * bw + (xs // block)) * (block * block) \
+        + (ys % block) * block + (xs % block)
+    return np.argsort(key.reshape(-1), kind="stable").astype(np.int32)
+
+
 @partial(jax.jit, static_argnames=("opts",))
 def render(scene: SceneData, cam: Camera, opts: RenderOptions, seed=0,
            sample_base=0):
     """Full-frame render -> [H, W, 3] linear radiance. ``sample_base``
     shifts the global sample indices (counter-based RNG) so chunked/
-    progressive renders continue the exact stream."""
+    progressive renders continue the exact stream.
+
+    Lanes are emitted in 32x32 screen-block order (see _block_order), and
+    ``opts.samples_per_launch`` > 1 batches that many spp into one
+    wavefront (lane = (sample, blocked-pixel)) — both purely for ray-tile
+    coherence; the RNG stream and the per-pixel sums are identical to the
+    one-sample row-major schedule."""
     p = cam.n_pixels
-    lane = jnp.arange(p, dtype=jnp.int32)
-    px = lane % cam.width
-    py = lane // cam.width
+    order = jnp.asarray(_block_order(cam.width, cam.height))
+    sb = max(1, min(opts.samples_per_launch or 1, opts.spp))
+    while opts.spp % sb:
+        sb -= 1
+    pix = jnp.tile(order, sb)                      # [p*sb] pixel id per lane
+    px = pix % cam.width
+    py = pix // cam.width
+    soff = jnp.repeat(jnp.arange(sb, dtype=jnp.int32), p)
 
     def body(s, acc):
-        L = render_sample(scene, cam, px, py, lane, sample_base + s, seed,
-                          opts)
-        return (acc[0] + L.x, acc[1] + L.y, acc[2] + L.z)
+        L = render_sample(scene, cam, px, py, pix,
+                          sample_base + s * sb + soff, seed, opts)
+        return (acc[0].at[pix].add(L.x), acc[1].at[pix].add(L.y),
+                acc[2].at[pix].add(L.z))
 
     zeros = jnp.zeros((p,), jnp.float32)
-    acc = jax.lax.fori_loop(0, opts.spp, body, (zeros, zeros, zeros))
+    acc = jax.lax.fori_loop(0, opts.spp // sb, body, (zeros, zeros, zeros))
     inv = 1.0 / opts.spp
     img = jnp.stack([acc[0] * inv, acc[1] * inv, acc[2] * inv], axis=-1)
     return img.reshape(cam.height, cam.width, 3)

@@ -60,11 +60,20 @@ class RenderOptions:
     tutu_bdpt_t1_gate: bool = True
     # batching: rays processed per device dispatch (0 = whole frame)
     rays_per_pass: int = 0
+    # samples batched into ONE wavefront launch (path tracer): larger
+    # wavefronts give the large-scene cluster intersector tighter
+    # Morton-sorted ray tiles (its beam culling feeds on phase-space
+    # density). Purely a scheduling choice — the image is bit-identical.
+    # 1 = one launch per sample (default; right for small scenes).
+    samples_per_launch: int = 1
     # wavefront compaction: per-bounce live-lane fraction schedule (static).
     # Empty = off. Each entry is the buffer size for that bounce as a
     # fraction of the wavefront; live lanes are gathered to the front.
     # Size with margin above the scene's measured alive fractions: if the
-    # live count ever exceeds the buffer, excess paths are dropped.
+    # live count ever exceeds the buffer, a uniformly random subset
+    # survives and is upweighted by cnt/k (unbiased stochastic lane
+    # roulette; a runtime warning is printed) — undersized buffers cost
+    # variance, never energy.
     # Measured: a wash on Cornell (alive stays >30% to depth 5), a 2.6x
     # win on the 100k-tri open scene (alive collapses to 21%/7%/3% after
     # bounce 1; 32.7s -> 12.7s at 512^2 x 16spp) — use on large/open

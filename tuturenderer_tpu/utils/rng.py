@@ -28,6 +28,7 @@ PIXEL_JX = 7
 PIXEL_JY = 8
 LIGHT_DIR_U0 = 9
 LIGHT_DIR_U1 = 10
+COMPACT = 11        # compaction-overflow lane roulette (path.py:compact)
 
 
 def _mix(h):
