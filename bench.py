@@ -163,6 +163,18 @@ def main():
         extras["sphere_100k_rays_per_sec"] = round(bench_sphere_100k(), 0)
     except Exception as e:
         print(f"# sphere_100k bench failed: {e!r}", file=sys.stderr)
+    try:
+        # oracle status line (VERDICT r2 #7): the golden comparisons run
+        # on-device every round so the artifacts carry pass/fail, not
+        # just perf numbers
+        sys.path.insert(0, "tools")
+        from golden_gate import run_fast
+        goldens = run_fast()
+        for k, v in goldens.items():
+            print(f"# golden {k}: {v}", file=sys.stderr)
+        extras["goldens"] = {k: v.split()[0] for k, v in goldens.items()}
+    except Exception as e:
+        print(f"# golden gate failed: {e!r}", file=sys.stderr)
 
     baseline_rays_per_s = 1.5e6   # midpoint of BASELINE.md 1-2 M rays/s
     print(json.dumps({

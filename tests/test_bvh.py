@@ -70,3 +70,41 @@ def test_bvh_build_partitions_all_prims():
         assert s == pos
         pos += c
     assert pos == 133
+
+
+def test_bvh_occluded_matches_nearest_hit_occlusion():
+    """bvh_occluded (dedicated any-hit early-out, hasIntersection
+    BVH.hpp:170-194) must agree with occlusion derived from the
+    nearest-hit traversal for every distance regime."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tuturenderer_tpu.ops.bvh import bvh_intersect, bvh_occluded
+    from tuturenderer_tpu.ops.intersect import PARALLEL_EPS
+    from tuturenderer_tpu.scene.data import SceneBuilder
+    from tuturenderer_tpu.utils.vec import Vec3
+
+    r = np.random.RandomState(21)
+    b = SceneBuilder()
+    m = b.add_material()
+    centers = r.randn(500, 3) * 3.0
+    b.add_triangles(
+        (centers[:, None, :] + 0.5 * r.randn(500, 3, 3)).astype(np.float32),
+        None, None, m)
+    s = b.build(use_bvh=True)
+
+    n = 256
+    o_np = (r.randn(n, 3) * 4.0).astype(np.float32)
+    d_np = r.randn(n, 3).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = Vec3(*[jnp.asarray(o_np[:, i]) for i in range(3)])
+    d = Vec3(*[jnp.asarray(d_np[:, i]) for i in range(3)])
+
+    core = bvh_intersect(s, s.bvh, o, d)
+    t_ref = np.asarray(jnp.where(core.hit, core.t, 1.0))
+    for scale in (0.5, 1.0, 2.0):
+        dist = jnp.asarray(t_ref * scale + 0.3)
+        want = np.asarray(core.hit) & (np.asarray(core.t) < np.asarray(dist)) \
+            & (np.abs(np.asarray(core.t) - np.asarray(dist)) >= PARALLEL_EPS)
+        got = np.asarray(bvh_occluded(s, s.bvh, o, d, dist))
+        assert (got == want).mean() > 0.995, scale

@@ -149,3 +149,41 @@ def test_progressive_matches_single_shot_all_integrators(tmp_path):
                                    progress=False)
         np.testing.assert_allclose(prog2, prog, rtol=1e-6, atol=1e-8,
                                    err_msg=integrator)
+
+
+def test_mtlcolor_preserves_material_type():
+    """The reference parser's mtlcolor sets only diffuse/specular/alpha/
+    eta — the material TYPE (and roughness/metallic) persists until the
+    next material keyword (PPMGenerator.hpp:583-609, no mType write in
+    the mtlcolor branch). A config can never return to LAMBERTIAN after
+    MICROFACET_*; oracle-validated by the tex_128 golden."""
+    import numpy as np
+
+    from tuturenderer_tpu.scene.config import ConfigParser
+    from tuturenderer_tpu.scene.data import LAMBERTIAN, MICROFACET_R
+
+    cfg = __import__("tempfile").NamedTemporaryFile(
+        "w", suffix=".txt", delete=False)
+    cfg.write("""imsize 8 8
+eye 0 0 3
+viewdir 0 0 -1
+updir 0 1 0
+hfov 60
+bkgcolor 0 0 0 1.0
+integrator path
+mtlcolor 0.5 0.5 0.5 1 1 1 1.0 1.0
+sphere -1 0 0 0.5
+MICROFACET_R 0.8 0.6 0.4 1.0 1.0 0.4 0.3
+sphere 0 0 0 0.5
+mtlcolor 0.7 0.7 0.7 1 1 1 1.0 1.0
+sphere 1 0 0 0.5
+""")
+    cfg.close()
+    pc = ConfigParser(cfg.name).parse()
+    scene = pc.builder.build()
+    mt = np.asarray(scene.materials.mtype)[np.asarray(scene.smat)]
+    assert mt.tolist() == [LAMBERTIAN, MICROFACET_R, MICROFACET_R]
+    rough = np.asarray(scene.materials.roughness)[np.asarray(scene.smat)]
+    assert abs(rough[2] - 0.4) < 1e-6          # roughness persists too
+    diff = np.asarray(scene.materials.diffuse.x)[np.asarray(scene.smat)]
+    assert abs(diff[2] - 0.7) < 1e-6           # diffuse does update

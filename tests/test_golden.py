@@ -2,12 +2,24 @@
 
 The goldens in golden/*.ppm are produced by the reference renderer itself,
 compiled with g++ (golden/build_ref.sh; single-threaded to dodge its
-thread-arg lifetime bug) and run on the reference Cornell assets at
-matched resolution/spp/camera. RNG streams differ, so the comparison is
-statistical: block-downsampled means and whole-image statistics.
+thread-arg lifetime bug) and run at matched resolution/spp/camera.
+
+Comparisons use the ORACLE QUIRK PROFILE: the reference's biased light
+pick (IIntegrator.hpp:184), non-uniform triangle light sampling with a
+uniform-pdf claim (Triangle.hpp:119-142), and the GGX ``alhpa`` sampling
+typo (Material.hpp:212-214) are all reproduced through the RenderOptions
+quirk knobs, and our image is quantized with the reference's TRUNCATING
+pixel write ((int)(255*v^0.78), PPMGenerator.hpp:825-843). Measured on
+the no-texture oracle scene, this collapses the 16x16-block deviation
+from 0.065 (systematic estimator mismatch) to 0.007 (pure Monte Carlo
+residue) — so the thresholds here are ~8x tighter than round 2's.
+
+RNG streams still differ; the residual tolerance is per-pixel MC noise
+(golden 64 spp) which block means suppress to the few-1e-3 level
+(measured golden-vs-golden 16x16 block noise: < 0.006).
 
 These renders take minutes on the CI CPU; enable with TUTU_GOLDEN=1
-(the bench/driver environment runs them on the TPU).
+(tools/golden_gate.py runs the fast ones on the TPU each round).
 """
 import os
 
@@ -22,97 +34,164 @@ pytestmark = pytest.mark.skipif(
     reason="golden comparisons are slow; set TUTU_GOLDEN=1")
 
 
+def oracle_opts(**kw):
+    """RenderOptions matching the reference's estimator quirks."""
+    from tuturenderer_tpu.options import RenderOptions
+    kw.setdefault("tutu_light_pick", True)
+    kw.setdefault("tutu_tri_sample", True)
+    kw.setdefault("ggx_sample_bug", True)
+    return RenderOptions(**kw)
+
+
+def quantize(img):
+    """The reference's pixel write: gamma 0.78 then TRUNCATING 8-bit
+    quantization ((int)(255*v), PPMGenerator.hpp:825-843)."""
+    return np.floor(np.clip(np.asarray(img), 0.0, 1.0) ** 0.78 * 255.0) / 255.0
+
+
 def block_mean(img, b):
     h, w, c = img.shape
     return img.reshape(h // b, b, w // b, b, c).mean(axis=(1, 3))
 
 
-def test_cornell_matches_reference_golden():
-    from tuturenderer_tpu.io.ppm import read_ppm
-    from tuturenderer_tpu.integrators.path import render
-    from tuturenderer_tpu.options import RenderOptions
-    from tuturenderer_tpu.scene.presets import cornell_box
+def compare(golden, ours, blk, t_block, t_meanabs, t_mean):
+    g8 = block_mean(golden, blk)
+    o8 = block_mean(ours, blk)
+    assert np.abs(g8 - o8).max() < t_block, \
+        f"max block diff {np.abs(g8 - o8).max():.4f}"
+    assert np.abs(golden - ours).mean() < t_meanabs, \
+        f"mean abs diff {np.abs(golden - ours).mean():.4f}"
+    assert abs(golden.mean() - ours.mean()) < t_mean, \
+        f"mean diff {abs(golden.mean() - ours.mean()):.4f}"
 
-    path = os.path.join(GOLDEN_DIR, "cornell_128.ppm")
+
+def load_golden(ppm):
+    from tuturenderer_tpu.io.ppm import read_ppm
+    path = os.path.join(GOLDEN_DIR, ppm)
     if not os.path.exists(path):
         pytest.skip("golden not generated")
-    golden = read_ppm(path)           # gamma-0.78 quantized by the reference
+    return read_ppm(path)
 
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_cornell_matches_reference_golden(seed):
+    from tuturenderer_tpu.integrators.path import render
+    from tuturenderer_tpu.scene.presets import cornell_box
+
+    golden = load_golden("cornell_128.ppm")
     scene, cam = cornell_box(width=128, height=128)
-    img = np.asarray(render(scene, cam, RenderOptions(spp=64), seed=3))
-    ours = np.clip(img, 0.0, 1.0) ** 0.78
-
-    g8 = block_mean(golden, 16)
-    o8 = block_mean(ours, 16)
-    # measured on TPU (seed 3): mean diff 0.0014, mean abs diff 0.0217,
-    # max block diff 0.0427 — thresholds sized to ~1.5x the observed
-    # 64-spp Monte Carlo noise between independent RNG streams
-    assert np.abs(g8 - o8).max() < 0.06, \
-        f"max block diff {np.abs(g8 - o8).max():.4f}"
-    assert np.abs(golden - ours).mean() < 0.035
-    assert abs(golden.mean() - ours.mean()) < 0.01
+    ours = quantize(render(scene, cam, oracle_opts(spp=64), seed=seed))
+    compare(golden, ours, 16, 0.02, 0.025, 0.004)
 
 
-def test_veach_bdpt_matches_reference_golden():
+@pytest.mark.parametrize("seed", [7, 19])
+def test_veach_bdpt_matches_reference_golden(seed):
     """The flagship BDPT scene (src/main.cpp:24-86, README.md:112-116):
     two area lights + perfect dielectric + GGX lamp, rendered with the
     bidirectional integrator and compared against the reference oracle
     at 160x120 / 64 spp (golden/veach_160.txt)."""
-    from tuturenderer_tpu.io.ppm import read_ppm
     from tuturenderer_tpu.integrators.bdpt import render
-    from tuturenderer_tpu.options import RenderOptions
     from tuturenderer_tpu.scene.presets import veach_bdpt
 
-    path = os.path.join(GOLDEN_DIR, "veach_160.ppm")
-    if not os.path.exists(path):
-        pytest.skip("golden not generated")
-    golden = read_ppm(path)
-
+    golden = load_golden("veach_160.ppm")
     scene, cam = veach_bdpt(width=160, height=120)
-    img = np.asarray(render(scene, cam, RenderOptions(spp=64), seed=7))
-    ours = np.clip(img, 0.0, 1.0) ** 0.78
-
-    g8 = block_mean(golden, 8)     # 20x15 blocks of 8x8
-    o8 = block_mean(ours, 8)
+    ours = quantize(render(scene, cam, oracle_opts(spp=64), seed=seed))
     # BDPT at 64 spp is noisier than PT (firefly-prone t=1 splats near the
-    # very bright small light, emission ~3500); thresholds sized to ~1.5x
-    # the measured TPU-vs-oracle differences at seed 7
-    assert np.abs(g8 - o8).max() < 0.12, \
-        f"max block diff {np.abs(g8 - o8).max():.4f}"
-    assert np.abs(golden - ours).mean() < 0.05, \
-        f"mean abs diff {np.abs(golden - ours).mean():.4f}"
-    assert abs(golden.mean() - ours.mean()) < 0.02, \
-        f"mean diff {abs(golden.mean() - ours.mean()):.4f}"
+    # very bright small light, emission ~3500)
+    compare(golden, ours, 8, 0.1, 0.04, 0.012)
 
 
-def test_light_tracing_matches_reference_golden():
+@pytest.mark.parametrize("seed", [5, 17])
+def test_light_tracing_matches_reference_golden(seed):
     """Light tracing against the reference oracle (integrator light,
     LightTracing.hpp:25-206) on Cornell at 128x128 / 64 spp
     (golden/cornell_light_128.txt): direct visible-light splats + one
     vertex-connection bounce (the leaked MAXDEPTH=2). The one semantic
     deviation — our deterministic max-combine replaces the reference's
     write-order-dependent setRGB overwrite for the direct splat
-    (light.py module docstring) — stays within these statistical bounds.
-    Measured (seed 5): mean diff 0.0019, mean abs diff 0.020, max 16x16
-    block diff 0.045; thresholds ~1.5x."""
-    from tuturenderer_tpu.io.ppm import read_ppm
+    (light.py module docstring) — stays within these bounds."""
     from tuturenderer_tpu.integrators.light import render
-    from tuturenderer_tpu.options import RenderOptions
     from tuturenderer_tpu.scene.presets import cornell_box
 
-    path = os.path.join(GOLDEN_DIR, "cornell_light_128.ppm")
-    if not os.path.exists(path):
-        pytest.skip("golden not generated")
-    golden = read_ppm(path)
-
+    golden = load_golden("cornell_light_128.ppm")
     scene, cam = cornell_box(width=128, height=128)
-    img = np.asarray(render(scene, cam,
-                            RenderOptions(spp=64, lt_max_depth=2), seed=5))
-    ours = np.clip(img, 0.0, 1.0) ** 0.78
+    ours = quantize(render(scene, cam, oracle_opts(spp=64, lt_max_depth=2),
+                           seed=seed))
+    compare(golden, ours, 16, 0.03, 0.025, 0.006)
 
-    g8 = block_mean(golden, 16)
-    o8 = block_mean(ours, 16)
-    assert np.abs(g8 - o8).max() < 0.07, \
-        f"max block diff {np.abs(g8 - o8).max():.4f}"
-    assert np.abs(golden - ours).mean() < 0.032
-    assert abs(golden.mean() - ours.mean()) < 0.01
+
+def _render_config_golden(config, ppm, seed, opts):
+    from tuturenderer_tpu.render import render_config
+
+    golden = load_golden(ppm)
+    img = render_config(os.path.join(GOLDEN_DIR, config), opts, seed=seed,
+                        verbose=False)
+    return golden, quantize(img)
+
+
+@pytest.mark.parametrize("seed", [9, 23])
+def test_microfacet_t_matches_reference_golden(seed):
+    """Rough-dielectric oracle: a MICROFACET_T sphere (Material.hpp:
+    110-149 reflect+refract branches) over a diffuse floor, rendered by
+    the reference through golden/ref_oracle (config-driven generic main +
+    its hard-coded light quad; our config variant expresses the same quad
+    via the emission grammar extension). First reference-golden coverage
+    of the bxdf_eval MICROFACET_T branch end-to-end."""
+    golden, ours = _render_config_golden("mft_128.txt", "mft_128_ref.ppm",
+                                         seed, oracle_opts(spp=64))
+    compare(golden, ours, 16, 0.025, 0.03, 0.006)
+
+
+@pytest.mark.parametrize("seed", [9, 23])
+def test_textured_scene_matches_reference_golden(seed):
+    """Texture-pipeline oracle: P3 diffuse/bump/roughness/metallic maps
+    (PPMGenerator.hpp:1027-1084 loader, IIntegrator.hpp:27-127 TBN
+    application) on a floor quad + MICROFACET_R sphere, incl. the
+    reference's one-shot bump/rough/metal consumption quirk
+    (PPMGenerator.hpp:374-395) and repeat-wrap UVs."""
+    golden, ours = _render_config_golden("tex_128.txt", "tex_128_ref.ppm",
+                                         seed, oracle_opts(spp=64))
+    compare(golden, ours, 16, 0.025, 0.03, 0.006)
+
+
+@pytest.mark.parametrize("seed", [9, 23])
+def test_nee_only_matches_reference_golden(seed):
+    """The !MIS estimator branch (PathTracing.hpp:281-347) against a
+    reference binary compiled with MIS 0 (golden/build_ref.sh): pins the
+    NEE-only pane of the README's 4-way estimator grid.
+
+    Thresholds are wider than the MIS golden's for a measured reason: the
+    reference's NEE-only shadow test aims at the UNOFFSET light point
+    (PathTracing.hpp:297, unlike the MIS branch's epsilon-offset target,
+    :191), so whether the destination light triangle itself blocks the
+    ray comes down to |t - dis| < 1e-4 (BVH.hpp:184) where both operands
+    carry ~ulp(500-unit Cornell) = 3e-5-quantized float error — a
+    rounding lottery that differs between g++ x86 arithmetic and XLA.
+    Measured converged (256 spp) residual: 0.02 max block, +0.0016 mean;
+    golden-vs-golden noise is 0.006, and the MIS-branch golden converges
+    to 0.0064 with identical machinery, isolating the cause to this
+    unmatchable self-block rate."""
+    from tuturenderer_tpu.integrators.path import render
+    from tuturenderer_tpu.scene.presets import cornell_box
+
+    golden = load_golden("cornell_nomis_128.ppm")
+    scene, cam = cornell_box(width=128, height=128)
+    ours = quantize(render(scene, cam, oracle_opts(spp=64, mis=False),
+                           seed=seed))
+    compare(golden, ours, 16, 0.035, 0.03, 0.006)
+
+
+def test_cornell_flagship_512spp_matches_reference_golden():
+    """BASELINE.md's flagship row: Cornell box at 512 spp, image-allclose
+    to the reference. The reference renders single-threaded (its threaded
+    path has a stack-use-after-scope bug), so the oracle runs at 256x256
+    — the highest resolution where 512 reference spp completes in oracle
+    wall-time (~1h CPU); thresholds are ~sqrt(8) tighter than the 64-spp
+    goldens because both images carry 8x less Monte Carlo noise."""
+    from tuturenderer_tpu.integrators.path import render
+    from tuturenderer_tpu.scene.presets import cornell_box
+
+    golden = load_golden("cornell_flagship_256.ppm")
+    scene, cam = cornell_box(width=256, height=256)
+    ours = quantize(render(scene, cam, oracle_opts(spp=512), seed=13))
+    compare(golden, ours, 16, 0.008, 0.012, 0.003)

@@ -635,14 +635,18 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         new['alive'] = new['alive'] & valid
         new['L'] = _zeros3(k)
         over = cnt > k
-        jax.lax.cond(
-            over,
-            lambda: jax.debug.print(
-                "tuturenderer_tpu: compaction overflow at depth {d}: {c} "
-                "live lanes > buffer {k}; surviving lanes upweighted "
-                "(unbiased) — widen opts.compaction for lower variance",
-                d=depth, c=cnt, k=k),
-            lambda: None)
+        # host-callback warning on CPU only: remote TPU backends (axon
+        # tunnel) reject host send/recv callbacks, and the roulette below
+        # is the actual correctness mechanism either way
+        if jax.default_backend() == "cpu":
+            jax.lax.cond(
+                over,
+                lambda: jax.debug.print(
+                    "tuturenderer_tpu: compaction overflow at depth {d}: "
+                    "{c} live lanes > buffer {k}; surviving lanes "
+                    "upweighted (unbiased) — widen opts.compaction for "
+                    "lower variance", d=depth, c=cnt, k=k),
+                lambda: None)
         factor = jnp.where(over, cnt.astype(jnp.float32) / k, 1.0)
         for f in ('w', 'w_em', 'w_cont'):
             if f in new:

@@ -243,3 +243,85 @@ def bvh_intersect(scene: SceneData, bvh: FlatBVH, o: Vec3, d: Vec3) -> HitCore:
     _, _, best = jax.lax.while_loop(cond, body, (stack, sp, best))
     miss = best.t >= F32_MAX
     return best._replace(idx=jnp.where(miss, -1, best.idx))
+
+
+def bvh_occluded(scene: SceneData, bvh: FlatBVH, o: Vec3, d: Vec3,
+                 dist) -> jnp.ndarray:
+    """Dedicated any-hit traversal (the reference's hasIntersection,
+    BVH.hpp:170-194): no nearest-hit bookkeeping, and a lane STOPS
+    traversing the moment any primitive blocks it (stack cleared) —
+    the early-out the nearest-hit fallback could not give the occlusion
+    path. Accept rule: t < dist with the FLOAT_EQUAL endpoint guard
+    (BVH.hpp:184)."""
+    n = o.x.shape[0]
+    inv = lambda c: 1.0 / jnp.where(c == 0.0, 1e-30, c)
+    ix, iy, iz = inv(d.x), inv(d.y), inv(d.z)
+    dist = jnp.broadcast_to(jnp.asarray(dist), (n,))
+
+    stack = jnp.zeros((n, MAX_STACK), jnp.int32)
+    sp = jnp.ones((n,), jnp.int32)          # root pre-pushed at slot 0
+    blocked = jnp.zeros((n,), bool)
+
+    def leaf_any(node, active):
+        hit = jnp.zeros((n,), bool)
+        for k in range(LEAF_SIZE):
+            slot = bvh.start[node] + k
+            in_leaf = (k < bvh.count[node]) & active
+            ti = bvh.prim[jnp.clip(slot, 0, bvh.prim.shape[0] - 1)]
+            v0 = Vec3(scene.tv0.x[ti], scene.tv0.y[ti], scene.tv0.z[ti])
+            v1 = Vec3(scene.tv1.x[ti], scene.tv1.y[ti], scene.tv1.z[ti])
+            v2 = Vec3(scene.tv2.x[ti], scene.tv2.y[ti], scene.tv2.z[ti])
+            e1 = v1 - v0
+            e2 = v2 - v0
+            nrm = e1.cross(e2)
+            n_unit = nrm * (1.0 / jnp.maximum(nrm.norm(), 1e-30))
+            s = o - v0
+            s1 = d.cross(e2)
+            s2 = s.cross(e1)
+            det = s1.dot(e1)
+            dn = d.dot(n_unit)
+            invd = 1.0 / jnp.where(det == 0.0, 1.0, det)
+            t = s2.dot(e2) * invd
+            u = s1.dot(s) * invd
+            v = s2.dot(d) * invd
+            ok = in_leaf & (jnp.abs(dn) >= PARALLEL_EPS) & (det != 0.0) & \
+                (t > 0.0) & (u > 0.0) & (v > 0.0) & (1.0 - u - v > 0.0) & \
+                (t < dist) & (jnp.abs(t - dist) >= PARALLEL_EPS)
+            hit = hit | ok
+        return hit
+
+    def cond(carry):
+        stack, sp, blocked = carry
+        return jnp.any(sp > 0)
+
+    def body(carry):
+        stack, sp, blocked = carry
+        active = (sp > 0) & ~blocked
+        top = jnp.maximum(sp - 1, 0)
+        node = stack[jnp.arange(n), top]
+        sp = jnp.where(sp > 0, sp - 1, sp)
+
+        # slab test bounded by the shadow-ray length, not a best-t
+        hit_box, _ = _slab_test(bvh, node, o.x, o.y, o.z, ix, iy, iz, dist)
+        hit_box = hit_box & active
+        is_leaf = bvh.left[node] < 0
+
+        newly = leaf_any(node, hit_box & is_leaf)
+        blocked = blocked | newly
+        # blocked lanes stop traversing entirely
+        sp = jnp.where(newly, 0, sp)
+
+        push = hit_box & ~is_leaf & ~blocked
+        l = bvh.left[node]
+        r = bvh.right[node]
+        rows = jnp.arange(n)
+        s0 = jnp.minimum(sp, MAX_STACK - 1)
+        stack = stack.at[rows, s0].set(jnp.where(push, l, stack[rows, s0]))
+        sp = jnp.where(push, jnp.minimum(sp + 1, MAX_STACK), sp)
+        s1 = jnp.minimum(sp, MAX_STACK - 1)
+        stack = stack.at[rows, s1].set(jnp.where(push, r, stack[rows, s1]))
+        sp = jnp.where(push, jnp.minimum(sp + 1, MAX_STACK), sp)
+        return stack, sp, blocked
+
+    _, _, blocked = jax.lax.while_loop(cond, body, (stack, sp, blocked))
+    return blocked

@@ -315,6 +315,14 @@ def occluded(scene: SceneData, orig: Vec3, d: Vec3, dist,
         if scene.n_spheres:
             blocked = blocked | _sphere_occluded(scene, orig, d, dist)
         return blocked
+    if scene.bvh is not None:
+        # dedicated any-hit early-out traversal (hasIntersection,
+        # BVH.hpp:170-194) instead of full nearest-hit work
+        from .bvh import bvh_occluded
+        blocked = bvh_occluded(scene, scene.bvh, orig, d, dist)
+        if scene.n_spheres:
+            blocked = blocked | _sphere_occluded(scene, orig, d, dist)
+        return blocked
     core = intersect_core(scene, orig, d)
     return core.hit & (core.t < dist) & (jnp.abs(core.t - dist) >= PARALLEL_EPS)
 

@@ -60,15 +60,21 @@ def init_distributed(coordinator_address: Optional[str] = None,
         _initialized = True
 
 
-def make_multihost_mesh(sample: Optional[int] = None) -> Mesh:
+def make_multihost_mesh(sample: Optional[int] = None,
+                        force_hosts: Optional[int] = None) -> Mesh:
     """("host", "tile", "sample") mesh: ``host`` spans processes (DCN),
     ``tile``/``sample`` span the chips within each host (ICI).
 
     Single-process fallback: host axis of size 1 over all local devices,
     so code written against this mesh runs unchanged on one host.
+
+    ``force_hosts``: partition the local devices into this many fake host
+    rows (single-process testing of the DCN-shaped axis — the sharding
+    programs and collectives compile/run exactly as they would across
+    real hosts; only the physical transport differs).
     """
     devices = jax.devices()
-    n_proc = jax.process_count()
+    n_proc = force_hosts or jax.process_count()
     per_host = len(devices) // n_proc
     if sample is None:
         sample = 1

@@ -3,7 +3,8 @@
 Implements the whitespace-token keyword grammar of the reference's
 PPMGenerator (processKeyword, PPMGenerator.hpp:488-791; inline geometry
 readObject, PPMGenerator.hpp:328-482): camera/viewport keywords, material
-state machine (``mtlcolor`` resets to LAMBERTIAN-style params,
+state machine (``mtlcolor`` updates color/alpha/eta but the material
+TYPE persists until the next material keyword,
 ``MICROFACET_R/T``, ``PERFECT_REFLECTIVE/REFRACTIVE`` switch the current
 type), texture bindings (``texture``/``bump``/``roughnessTexture``/
 ``metallicTexture`` with dedup-by-name), inline v/vn/vt/f/sphere geometry
@@ -204,8 +205,16 @@ class ConfigParser:
                 s = self._vec3()
                 a = self._f()
                 e = self._f()
-                self.mtl = _MtlState(mtype=LAMBERTIAN, diffuse=d, specular=s,
-                                     alpha=a, eta=e)
+                # the reference's mtlcolor sets ONLY diffuse/specular/
+                # alpha/eta (PPMGenerator.hpp:583-609); the material TYPE
+                # and roughness/metallic persist until the next material
+                # keyword — a config can never return to LAMBERTIAN after
+                # MICROFACET_*. Reproduced exactly (oracle-validated:
+                # tex_128 golden). Emission (our grammar extension) is
+                # scoped to the material block and resets here.
+                self.mtl = dataclasses.replace(
+                    self.mtl, diffuse=d, specular=s, alpha=a, eta=e,
+                    emission=(0.0, 0.0, 0.0))
                 self.texture_on = False
             elif key in ("MICROFACET_R", "MICROFACET_T"):
                 d = self._vec3()
