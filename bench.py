@@ -137,7 +137,9 @@ def bench_sphere_100k(width=512, height=512, spp=16):
     # on this scene alive collapses to 21%/7%/3%... after bounce 1, and
     # compaction measured 32.7s -> 12.7s (identical image mean)
     sched = tuple(float(min(1.0, max(2.0 * f, 0.01))) for f in fracs[:-1])
-    copts = RenderOptions(spp=spp, compaction=sched)
+    # all spp share one wavefront: bigger sorted wavefronts give the
+    # cluster intersector tighter (octant, origin)-pure ray tiles
+    copts = RenderOptions(spp=spp, compaction=sched, samples_per_launch=spp)
     dt, img = _timed(lambda s: render(scene, cam, copts, s), 1)
     rays = width * height * spp * _rays_per_path(fracs)
     arr = np.asarray(img)

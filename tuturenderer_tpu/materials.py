@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .scene.data import (LAMBERTIAN, MICROFACET_R, MICROFACET_T,
@@ -56,14 +57,49 @@ class MatParams(NamedTuple):
         return (self.mtype == PERFECT_REFLECTIVE) | (self.mtype == PERFECT_REFRACTIVE)
 
 
+@jax.custom_vjp
+def _seg_gather(table, idx):
+    """table [M, F] -> [N, F] row gather with an MXU-friendly backward.
+
+    The transpose of a gather is a scatter-add; with every lane indexing
+    a handful of material rows, XLA:TPU's scatter lowering serializes on
+    the index collisions and dominates the whole backward pass. The
+    custom VJP computes grad_table = onehot(idx)^T @ g instead — one
+    [M,N]x[N,F] matmul on the MXU (M is the material count, ~tens)."""
+    return table[idx]
+
+
+def _seg_gather_fwd(table, idx):
+    return table[idx], (idx, table.shape[0])
+
+
+def _seg_gather_bwd(res, g):
+    idx, m = res
+    onehot = (idx[:, None] == jnp.arange(m, dtype=idx.dtype)[None, :])
+    gt = jnp.dot(onehot.astype(g.dtype).T, g,
+                 preferred_element_type=jnp.float32)
+    return gt, None
+
+
+_seg_gather.defvjp(_seg_gather_fwd, _seg_gather_bwd)
+
+
 def gather_material(scene: SceneData, mat_idx) -> MatParams:
     m = scene.materials
     i = jnp.maximum(mat_idx, 0)
     g3 = lambda v: Vec3(v.x[i], v.y[i], v.z[i])
+    # differentiable fields ride ONE stacked custom-VJP gather (see
+    # _seg_gather); non-differentiated fields use plain gathers whose
+    # transpose is never taken
+    dtab = jnp.stack([m.diffuse.x, m.diffuse.y, m.diffuse.z,
+                      m.emission.x, m.emission.y, m.emission.z,
+                      m.roughness, m.metallic], axis=1)      # [M, 8]
+    d = _seg_gather(dtab, i)
     return MatParams(
-        mtype=m.mtype[i], diffuse=g3(m.diffuse), specular=g3(m.specular),
-        emission=g3(m.emission), alpha=m.alpha[i], eta=m.eta[i],
-        roughness=m.roughness[i], metallic=m.metallic[i])
+        mtype=m.mtype[i], diffuse=Vec3(d[:, 0], d[:, 1], d[:, 2]),
+        specular=g3(m.specular),
+        emission=Vec3(d[:, 3], d[:, 4], d[:, 5]), alpha=m.alpha[i],
+        eta=m.eta[i], roughness=d[:, 6], metallic=d[:, 7])
 
 
 # ---------------------------------------------------------------- helpers

@@ -244,8 +244,8 @@ def _test(wread, slot, g, k, rox, roy, roz, rdx, rdy, rdz):
     return t, u, v, dn
 
 
-def _walk_kernel(mode, cluster_size, vlist, ventry, sb_ref, ins, outs,
-                 woop_hbm, wbuf, sems, tlim, iss):
+def _walk_kernel(mode, cluster_size, vlist, ventry, sb_ref, aabb_ref,
+                 ins, outs, woop_hbm, wbuf, sems, tlim, iss):
     """Shared visit-walk skeleton: double-buffered manual DMA over the
     tile's sorted cluster list, exiting at the first entry >= t_lim."""
     nc = vlist.shape[0] * vlist.shape[1]      # clusters in this tile's list
@@ -322,6 +322,37 @@ def _walk_kernel(mode, cluster_size, vlist, ventry, sb_ref, ins, outs,
     def wread(slot, g, e):
         return wbuf[slot, g, e // 128, e % 128]
 
+    def cluster_gate(cid, bound):
+        """Per-lane slab test of the whole tile against cluster ``cid``'s
+        AABB with per-lane upper bound ``bound`` -> scalar any().
+
+        The tile-level visit list + t_lim can only reason about the
+        UNION of the lanes; this gate asks the exact per-lane question
+        ("could ANY lane still improve inside this box?") for ~30 vector
+        ops + one reduction, and skips the cluster_size*~28-op triangle
+        block when the answer is no — the common case mid-walk once
+        lanes hold nearby hits."""
+        inv = lambda c: 1.0 / jnp.where(c == 0.0, 1e-30, c)
+        ix, iy, iz = inv(rdx), inv(rdy), inv(rdz)
+        # aabb_ref packs 16 clusters per 128-wide row (SMEM pads each
+        # array row to 512 bytes, so a [C, 8] layout would burn 1 MB)
+        row = cid // 16
+        col = (cid % 16) * 8
+        t0x = (aabb_ref[row, col + 0] - rox) * ix
+        t1x = (aabb_ref[row, col + 3] - rox) * ix
+        t0y = (aabb_ref[row, col + 1] - roy) * iy
+        t1y = (aabb_ref[row, col + 4] - roy) * iy
+        t0z = (aabb_ref[row, col + 2] - roz) * iz
+        t1z = (aabb_ref[row, col + 5] - roz) * iz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.minimum(t0z, t1z))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                       jnp.maximum(t0y, t1y)),
+                           jnp.maximum(t0z, t1z))
+        return jnp.any((tmin <= tmax) & (tmax >= 0.0) & (tmin < bound)
+                       & lv)
+
     iss[0] = -1
 
     @pl.when(ent(0) < SENTINEL)
@@ -344,60 +375,81 @@ def _walk_kernel(mode, cluster_size, vlist, ventry, sb_ref, ins, outs,
         dma_wait(slot, s)
 
         if mode == "nearest":
-            t_best = t_out[...]
-            idx_best = idx_out[...]
-            bu_best = bu_out[...]
-            bv_best = bv_out[...]
             for g in range(G):
-                valid = ent(s * G + g) < SENTINEL
-                cid = lid(s * G + g)
-                for k in range(cluster_size):
-                    t, u, v, dn = _test(wread, slot, g, k, rox, roy, roz,
-                                        rdx, rdy, rdz)
-                    ok = valid & (jnp.abs(dn) >= PARALLEL_EPS) & \
-                        (t > 0.0) & (u > 0.0) & (v > 0.0) & \
-                        (1.0 - u - v > 0.0) & (t < t_best)
-                    t_best = jnp.where(ok, t, t_best)
-                    idx_best = jnp.where(ok, cid * cluster_size + k, idx_best)
-                    bu_best = jnp.where(ok, u, bu_best)
-                    bv_best = jnp.where(ok, v, bv_best)
-            t_out[...] = t_best
-            idx_out[...] = idx_best
-            bu_out[...] = bu_best
-            bv_out[...] = bv_best
+                pos = s * G + g
+                cid = lid(pos)
+                gate = jnp.logical_and(ent(pos) < SENTINEL,
+                                       cluster_gate(cid, t_out[...]))
+
+                @pl.when(gate)
+                def _(g=g, cid=cid):
+                    t_best = t_out[...]
+                    idx_best = idx_out[...]
+                    bu_best = bu_out[...]
+                    bv_best = bv_out[...]
+                    for k in range(cluster_size):
+                        t, u, v, dn = _test(wread, slot, g, k, rox, roy,
+                                            roz, rdx, rdy, rdz)
+                        ok = (jnp.abs(dn) >= PARALLEL_EPS) & \
+                            (t > 0.0) & (u > 0.0) & (v > 0.0) & \
+                            (1.0 - u - v > 0.0) & (t < t_best)
+                        t_best = jnp.where(ok, t, t_best)
+                        idx_best = jnp.where(ok, cid * cluster_size + k,
+                                             idx_best)
+                        bu_best = jnp.where(ok, u, bu_best)
+                        bv_best = jnp.where(ok, v, bv_best)
+                    t_out[...] = t_best
+                    idx_out[...] = idx_best
+                    bu_out[...] = bu_best
+                    bv_out[...] = bv_best
             tlim[0] = jnp.minimum(
                 tlim[0],
-                jnp.max(jnp.where(lv, jnp.minimum(t_best, t_exit), 0.0)))
+                jnp.max(jnp.where(lv, jnp.minimum(t_out[...], t_exit),
+                                  0.0)))
         elif mode == "anyhit":
-            blocked = hit_out[...]
             for g in range(G):
-                valid = ent(s * G + g) < SENTINEL
-                for k in range(cluster_size):
-                    t, u, v, dn = _test(wread, slot, g, k, rox, roy, roz,
-                                        rdx, rdy, rdz)
-                    ok = valid & (jnp.abs(dn) >= PARALLEL_EPS) & \
-                        (t > 0.0) & (u > 0.0) & (v > 0.0) & \
-                        (1.0 - u - v > 0.0) & \
-                        (t < rdist) & (jnp.abs(t - rdist) >= PARALLEL_EPS)
-                    blocked = blocked | ok.astype(jnp.int32)
-            hit_out[...] = blocked
+                pos = s * G + g
+                cid = lid(pos)
+                unresolved = jnp.where(hit_out[...] == 0, rdist, 0.0)
+                gate = jnp.logical_and(ent(pos) < SENTINEL,
+                                       cluster_gate(cid, unresolved))
+
+                @pl.when(gate)
+                def _(g=g):
+                    blocked = hit_out[...]
+                    for k in range(cluster_size):
+                        t, u, v, dn = _test(wread, slot, g, k, rox, roy,
+                                            roz, rdx, rdy, rdz)
+                        ok = (jnp.abs(dn) >= PARALLEL_EPS) & \
+                            (t > 0.0) & (u > 0.0) & (v > 0.0) & \
+                            (1.0 - u - v > 0.0) & \
+                            (t < rdist) & \
+                            (jnp.abs(t - rdist) >= PARALLEL_EPS)
+                        blocked = blocked | ok.astype(jnp.int32)
+                    hit_out[...] = blocked
             # a lane stops mattering once blocked; exit when the farthest
             # still-unblocked live endpoint precedes every later cluster
             tlim[0] = jnp.max(
-                jnp.where(lv & (blocked == 0), rdist, 0.0))
+                jnp.where(lv & (hit_out[...] == 0), rdist, 0.0))
         else:                                 # transmit: no early exit
-            trans = trans_out[...]
             for g in range(G):
-                valid = ent(s * G + g) < SENTINEL
-                for k in range(cluster_size):
-                    t, u, v, dn = _test(wread, slot, g, k, rox, roy, roz,
-                                        rdx, rdy, rdz)
-                    ok = valid & (jnp.abs(dn) >= PARALLEL_EPS) & \
-                        (t > 0.0) & (u > 0.0) & (v > 0.0) & \
-                        (1.0 - u - v > 0.0) & (t < rdist)
-                    a = wread(slot, g, k * WOOP_F + 13)
-                    trans = trans * jnp.where(ok, 1.0 - a, 1.0)
-            trans_out[...] = trans
+                pos = s * G + g
+                cid = lid(pos)
+                gate = jnp.logical_and(ent(pos) < SENTINEL,
+                                       cluster_gate(cid, rdist))
+
+                @pl.when(gate)
+                def _(g=g):
+                    trans = trans_out[...]
+                    for k in range(cluster_size):
+                        t, u, v, dn = _test(wread, slot, g, k, rox, roy,
+                                            roz, rdx, rdy, rdz)
+                        ok = (jnp.abs(dn) >= PARALLEL_EPS) & \
+                            (t > 0.0) & (u > 0.0) & (v > 0.0) & \
+                            (1.0 - u - v > 0.0) & (t < rdist)
+                        a = wread(slot, g, k * WOOP_F + 13)
+                        trans = trans * jnp.where(ok, 1.0 - a, 1.0)
+                    trans_out[...] = trans
 
         return s + 1
 
@@ -409,31 +461,37 @@ def _walk_kernel(mode, cluster_size, vlist, ventry, sb_ref, ins, outs,
     def _drain():
         dma_wait(jnp.mod(iss[0], 2), iss[0])
 
+    import os as _os
+    if mode == "nearest" and _os.environ.get("TUTU_DEBUG_VISITS"):
+        # diagnostics: overwrite bu with the group count actually walked
+        bu_out[...] = jnp.full(bu_out.shape, s_exit.astype(jnp.float32))
 
-def _kernel_nearest(vlist, ventry, sb_ref, ox, oy, oz, dx, dy, dz, live,
-                    woop_hbm, t_out, idx_out, bu_out, bv_out, wbuf, sems,
-                    tlim, iss, *, cluster_size):
-    _walk_kernel("nearest", cluster_size, vlist, ventry, sb_ref,
+
+def _kernel_nearest(vlist, ventry, sb_ref, aabb_ref, ox, oy, oz, dx, dy,
+                    dz, live, woop_hbm, t_out, idx_out, bu_out, bv_out,
+                    wbuf, sems, tlim, iss, *, cluster_size):
+    _walk_kernel("nearest", cluster_size, vlist, ventry, sb_ref, aabb_ref,
                  (ox, oy, oz, dx, dy, dz, live),
                  (t_out, idx_out, bu_out, bv_out),
                  woop_hbm, wbuf, sems, tlim, iss)
 
 
-def _kernel_anyhit(vlist, ventry, sb_ref, ox, oy, oz, dx, dy, dz, live,
-                   dist, woop_hbm, hit_out, wbuf, sems, tlim, iss,
-                   *, cluster_size):
-    _walk_kernel("anyhit", cluster_size, vlist, ventry, sb_ref,
+def _kernel_anyhit(vlist, ventry, sb_ref, aabb_ref, ox, oy, oz, dx, dy,
+                   dz, live, dist, woop_hbm, hit_out, wbuf, sems, tlim,
+                   iss, *, cluster_size):
+    _walk_kernel("anyhit", cluster_size, vlist, ventry, sb_ref, aabb_ref,
                  (ox, oy, oz, dx, dy, dz, live, dist), (hit_out,),
                  woop_hbm, wbuf, sems, tlim, iss)
 
 
-def _kernel_transmit(vlist, ventry, sb_ref, ox, oy, oz, dx, dy, dz, live,
-                     dist, woop_hbm, trans_out, wbuf, sems, tlim, iss,
-                     *, cluster_size):
+def _kernel_transmit(vlist, ventry, sb_ref, aabb_ref, ox, oy, oz, dx, dy,
+                     dz, live, dist, woop_hbm, trans_out, wbuf, sems,
+                     tlim, iss, *, cluster_size):
     """Alpha-weighted shadow transmittance: product of (1 - alpha) over
     every triangle crossed within dist (getShadowCoeffi semantics,
     BVHStrategy.hpp:13-45)."""
     _walk_kernel("transmit", cluster_size, vlist, ventry, sb_ref,
+                 aabb_ref,
                  (ox, oy, oz, dx, dy, dz, live, dist), (trans_out,),
                  woop_hbm, wbuf, sems, tlim, iss)
 
@@ -452,7 +510,8 @@ def _walk_call(kernel, n_ray_in, n_out, out_dtypes, c, rows, nt,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((r, 128), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # scene bounds [8]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scene bounds [1,8]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # cluster AABBs [C,8]
         ] + [tile() for _ in range(n_ray_in)] + [
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
@@ -481,14 +540,15 @@ def _run_nearest(aabb, tri_idx, woop, ox, oy, oz, dx, dy, dz, live,
     vlist, ventry = _visit_lists(aabb, ox, oy, oz, dx, dy, dz, live,
                                  None, rows)
     sb = _scene_bounds_row(aabb)
+    aabb_p = aabb.reshape(-1, 128)
     rs = lambda a: a.reshape(nt * rows, LANES)
     kernel = functools.partial(_kernel_nearest, cluster_size=cluster_size)
     t, virt, bu, bv = _walk_call(
         kernel, 7, 4,
         (jnp.float32, jnp.int32, jnp.float32, jnp.float32),
         c, rows, nt, interpret,
-    )(vlist, ventry, sb, rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz),
-      rs(live.astype(jnp.float32)), woop)
+    )(vlist, ventry, sb, aabb_p, rs(ox), rs(oy), rs(oz), rs(dx), rs(dy),
+      rs(dz), rs(live.astype(jnp.float32)), woop)
     # virtual id (cluster * cluster_size + k) -> original triangle id
     virt = virt.reshape(-1)
     flat = tri_idx.reshape(-1)
@@ -506,12 +566,13 @@ def _run_anyhit(aabb, tri_idx, woop, ox, oy, oz, dx, dy, dz, dist, live,
     vlist, ventry = _visit_lists(aabb, ox, oy, oz, dx, dy, dz, live,
                                  dist, rows)
     sb = _scene_bounds_row(aabb)
+    aabb_p = aabb.reshape(-1, 128)
     rs = lambda a: a.reshape(nt * rows, LANES)
     kernel = functools.partial(_kernel_anyhit, cluster_size=cluster_size)
     (hit,) = _walk_call(
         kernel, 8, 1, (jnp.int32,), c, rows, nt, interpret,
-    )(vlist, ventry, sb, rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz),
-      rs(live.astype(jnp.float32)), rs(dist), woop)
+    )(vlist, ventry, sb, aabb_p, rs(ox), rs(oy), rs(oz), rs(dx), rs(dy),
+      rs(dz), rs(live.astype(jnp.float32)), rs(dist), woop)
     return hit.reshape(-1)
 
 
@@ -525,12 +586,13 @@ def _run_transmit(aabb, tri_idx, woop, ox, oy, oz, dx, dy, dz, dist, live,
     vlist, ventry = _visit_lists(aabb, ox, oy, oz, dx, dy, dz, live,
                                  dist, rows)
     sb = _scene_bounds_row(aabb)
+    aabb_p = aabb.reshape(-1, 128)
     rs = lambda a: a.reshape(nt * rows, LANES)
     kernel = functools.partial(_kernel_transmit, cluster_size=cluster_size)
     (trans,) = _walk_call(
         kernel, 8, 1, (jnp.float32,), c, rows, nt, interpret,
-    )(vlist, ventry, sb, rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz),
-      rs(live.astype(jnp.float32)), rs(dist), woop)
+    )(vlist, ventry, sb, aabb_p, rs(ox), rs(oy), rs(oz), rs(dx), rs(dy),
+      rs(dz), rs(live.astype(jnp.float32)), rs(dist), woop)
     return trans.reshape(-1)
 
 
@@ -580,9 +642,17 @@ def ray_sort_keys(clusters: Clusters, orig, d):
     mo = (_part1by2(q(orig.x, 0, 64.0), 6) |
           (_part1by2(q(orig.y, 1, 64.0), 6) << 1) |
           (_part1by2(q(orig.z, 2, 64.0), 6) << 2))
-    qd = lambda c: jnp.clip(jnp.abs(c) * 4.0, 0.0, 3.0).astype(jnp.int32)
-    md = qd(d.x) | (qd(d.y) << 2)
-    return (octant << 22) | (mo << 4) | md
+    # 10-bit 2D direction Morton (5 bits per minor axis): for camera
+    # wavefronts every lane shares ONE origin cell, so without fine
+    # direction bits the sort would collapse to ~8 buckets and shred the
+    # caller's screen-block coherence into full-frame strips
+    qd = lambda c: jnp.clip(jnp.abs(c) * 32.0, 0.0, 31.0).astype(jnp.int32)
+    dx5 = qd(d.x)
+    dy5 = qd(d.y)
+    md = jnp.zeros_like(dx5)
+    for b in range(5):
+        md = md | (((dx5 >> b) & 1) << (2 * b)) | (((dy5 >> b) & 1) << (2 * b + 1))
+    return (octant << 28) | (mo << 10) | md
 
 
 def sorted_ray_order(clusters: Clusters, orig, d):
@@ -598,6 +668,38 @@ def _pad(a, n_pad, n):
     return jnp.pad(a, (0, n_pad - n)) if n_pad != n else a
 
 
+def _permute_rays(perm, orig, d, live, extra=None):
+    """Reorder a ray SoA by ``perm`` with ONE packed row gather.
+
+    XLA:TPU lowers an independent gather per column to a ~14ns/element
+    per-lane loop — at millions of lanes the 7-11 column gathers of a
+    naive permutation cost more than the traversal kernel itself
+    (measured: ~650ms of a 965ms 4.2M-lane intersect). Packing the SoA
+    as [N, 8] first makes the whole permutation one row gather."""
+    from ...utils.vec import Vec3
+    cols = [orig.x, orig.y, orig.z, d.x, d.y, d.z,
+            live.astype(jnp.float32)]
+    if extra is not None:
+        cols.append(extra)
+    while len(cols) < 8:
+        cols.append(jnp.zeros_like(cols[0]))
+    rows_g = jnp.stack(cols, axis=1)[perm]
+    o2 = Vec3(rows_g[:, 0], rows_g[:, 1], rows_g[:, 2])
+    d2 = Vec3(rows_g[:, 3], rows_g[:, 4], rows_g[:, 5])
+    lv2 = rows_g[:, 6] > 0.0
+    ex2 = rows_g[:, 7] if extra is not None else None
+    return o2, d2, lv2, ex2
+
+
+def _unpermute4(inv, a, b, c, e):
+    """Gather the float result columns back to caller order in one row
+    gather; the int column rides its own gather (bitcasting small int32
+    ids through float32 would make them denormals, which TPU float data
+    movement flushes to zero)."""
+    packed = jnp.stack([a, b, e], axis=1)[inv]
+    return packed[:, 0], packed[:, 1], c[inv], packed[:, 2]
+
+
 def cluster_intersect(clusters: Clusters, orig, d, rows: int = ROWS,
                       sort: bool = False, interpret: bool = False,
                       live=None):
@@ -610,13 +712,13 @@ def cluster_intersect(clusters: Clusters, orig, d, rows: int = ROWS,
     n = orig.x.shape[0]
     live = _live_mask(live, orig, n)
     if sort:
-        from ...utils.vec import Vec3
         perm, inv = sorted_ray_order(clusters, orig, d)
-        g = lambda v: Vec3(v.x[perm], v.y[perm], v.z[perm])
-        t, idx, bu, bv = cluster_intersect(clusters, g(orig), g(d),
+        o2, d2, lv2, _ = _permute_rays(perm, orig, d, live)
+        t, idx, bu, bv = cluster_intersect(clusters, o2, d2,
                                            rows=rows, interpret=interpret,
-                                           live=live[perm])
-        return t[inv], idx[inv], bu[inv], bv[inv]
+                                           live=lv2)
+        t, bu, idx, bv = _unpermute4(inv, t, bu, idx, bv)
+        return t, idx, bu, bv
     block = rows * LANES
     n_pad = -(-n // block) * block
     p = lambda a: _pad(a, n_pad, n)
@@ -636,12 +738,10 @@ def cluster_occluded(clusters: Clusters, orig, d, dist, rows: int = ROWS,
     n = orig.x.shape[0]
     live = _live_mask(live, orig, n)
     if sort:
-        from ...utils.vec import Vec3
         perm, inv = sorted_ray_order(clusters, orig, d)
-        g = lambda v: Vec3(v.x[perm], v.y[perm], v.z[perm])
-        hit = cluster_occluded(clusters, g(orig), g(d), dist[perm],
-                               rows=rows, interpret=interpret,
-                               live=live[perm])
+        o2, d2, lv2, dist2 = _permute_rays(perm, orig, d, live, dist)
+        hit = cluster_occluded(clusters, o2, d2, dist2,
+                               rows=rows, interpret=interpret, live=lv2)
         return hit[inv]
     block = rows * LANES
     n_pad = -(-n // block) * block
@@ -663,12 +763,10 @@ def cluster_transmittance(clusters: Clusters, orig, d, dist,
     n = orig.x.shape[0]
     live = _live_mask(live, orig, n)
     if sort:
-        from ...utils.vec import Vec3
         perm, inv = sorted_ray_order(clusters, orig, d)
-        g = lambda v: Vec3(v.x[perm], v.y[perm], v.z[perm])
-        tr = cluster_transmittance(clusters, g(orig), g(d), dist[perm],
-                                   rows=rows, interpret=interpret,
-                                   live=live[perm])
+        o2, d2, lv2, dist2 = _permute_rays(perm, orig, d, live, dist)
+        tr = cluster_transmittance(clusters, o2, d2, dist2,
+                                   rows=rows, interpret=interpret, live=lv2)
         return tr[inv]
     block = rows * LANES
     n_pad = -(-n // block) * block
