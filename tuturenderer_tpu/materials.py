@@ -58,48 +58,51 @@ class MatParams(NamedTuple):
 
 
 @jax.custom_vjp
-def _seg_gather(table, idx):
-    """table [M, F] -> [N, F] row gather with an MXU-friendly backward.
+def _mat_gather(cols, idx):
+    """tuple of [M] columns -> tuple of [N] lookups.
 
-    The transpose of a gather is a scatter-add; with every lane indexing
-    a handful of material rows, XLA:TPU's scatter lowering serializes on
-    the index collisions and dominates the whole backward pass. The
-    custom VJP computes grad_table = onehot(idx)^T @ g instead — one
-    [M,N]x[N,F] matmul on the MXU (M is the material count, ~tens)."""
-    return table[idx]
-
-
-def _seg_gather_fwd(table, idx):
-    return table[idx], (idx, table.shape[0])
+    Forward: plain per-column gathers — XLA:TPU lowers small-table
+    column gathers to select trees, effectively free (a stacked [M,F]
+    row gather or a one-hot matmul both measured slower on the Cornell
+    forward). Backward: grad_table = onehot^T @ stacked(g) — ONE MXU
+    matmul; the default transpose is a scatter-add whose TPU lowering
+    serializes on index collisions and dominated the round-2 backward
+    pass (fwd+bwd 13.6M -> 43M rays/s)."""
+    return tuple(c[idx] for c in cols)
 
 
-def _seg_gather_bwd(res, g):
+def _mat_gather_fwd(cols, idx):
+    return _mat_gather(cols, idx), (idx, cols[0].shape[0])
+
+
+def _mat_gather_bwd(res, g):
     idx, m = res
     onehot = (idx[:, None] == jnp.arange(m, dtype=idx.dtype)[None, :])
-    gt = jnp.dot(onehot.astype(g.dtype).T, g,
-                 preferred_element_type=jnp.float32)
-    return gt, None
+    gs = jnp.stack(list(g), axis=1)                       # [N, F]
+    gt = jnp.dot(onehot.astype(gs.dtype).T, gs,
+                 preferred_element_type=jnp.float32)      # [M, F]
+    return tuple(gt[:, j] for j in range(gt.shape[1])), None
 
 
-_seg_gather.defvjp(_seg_gather_fwd, _seg_gather_bwd)
+_mat_gather.defvjp(_mat_gather_fwd, _mat_gather_bwd)
 
 
 def gather_material(scene: SceneData, mat_idx) -> MatParams:
     m = scene.materials
     i = jnp.maximum(mat_idx, 0)
     g3 = lambda v: Vec3(v.x[i], v.y[i], v.z[i])
-    # differentiable fields ride ONE stacked custom-VJP gather (see
-    # _seg_gather); non-differentiated fields use plain gathers whose
-    # transpose is never taken
-    dtab = jnp.stack([m.diffuse.x, m.diffuse.y, m.diffuse.z,
-                      m.emission.x, m.emission.y, m.emission.z,
-                      m.roughness, m.metallic], axis=1)      # [M, 8]
-    d = _seg_gather(dtab, i)
+    # differentiable fields ride the custom-VJP gather (see _mat_gather);
+    # non-differentiated fields use plain gathers whose transpose is
+    # never taken
+    dx, dy, dz, ex, ey, ez, ro, me = _mat_gather(
+        (m.diffuse.x, m.diffuse.y, m.diffuse.z,
+         m.emission.x, m.emission.y, m.emission.z,
+         m.roughness, m.metallic), i)
     return MatParams(
-        mtype=m.mtype[i], diffuse=Vec3(d[:, 0], d[:, 1], d[:, 2]),
+        mtype=m.mtype[i], diffuse=Vec3(dx, dy, dz),
         specular=g3(m.specular),
-        emission=Vec3(d[:, 3], d[:, 4], d[:, 5]), alpha=m.alpha[i],
-        eta=m.eta[i], roughness=d[:, 6], metallic=d[:, 7])
+        emission=Vec3(ex, ey, ez), alpha=m.alpha[i],
+        eta=m.eta[i], roughness=ro, metallic=me)
 
 
 # ---------------------------------------------------------------- helpers
