@@ -112,6 +112,15 @@ def run_fast(include_veach: bool = True) -> dict:
         img = render_bdpt(scene, cam, _opts(spp=64), seed=7)
         return _load("veach_160.ppm"), _quant(img), (8, 0.1, 0.04, 0.012)
 
+    def flagship():
+        # BASELINE.md's headline row: Cornell @ 512 spp vs the reference
+        # (256^2 oracle; thresholds sqrt(8) tighter than the 64-spp ones)
+        scene, cam = cornell_box(width=256, height=256)
+        img = render_path(scene, cam,
+                          _opts(spp=512, samples_per_launch=8), seed=13)
+        return _load("cornell_flagship_256.ppm"), _quant(img), \
+            (16, 0.008, 0.012, 0.003)
+
     run("cornell_pt", cornell)
     run("cornell_lt", light)
     run("cornell_nee", nee)
@@ -119,6 +128,7 @@ def run_fast(include_veach: bool = True) -> dict:
     run("tex", tex)
     if include_veach:
         run("veach_bdpt", veach)
+    run("cornell_flagship_512spp", flagship)
     return out
 
 
