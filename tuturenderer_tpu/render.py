@@ -32,7 +32,21 @@ def render_image(scene: SceneData, cam: Camera, opts: RenderOptions,
         from .integrators.bdpt import render as run
     else:
         raise ValueError(f"unknown integrator {integrator!r}")
-    img = np.asarray(jax.block_until_ready(run(scene, cam, opts, seed)))
+    if integrator == "path" and opts.compaction:
+        # overflow observability (works on TPU, where the in-graph debug
+        # print cannot): surface the unbiased-roulette drop count
+        img, st = jax.block_until_ready(
+            run(scene, cam, opts, seed, stats=True))
+        over = int(st["compaction_overflow"])
+        if over > 0:
+            import sys
+            print(f"tuturenderer_tpu: compaction overflow engaged — "
+                  f"{over} live lanes dropped+reweighted (unbiased); "
+                  f"widen opts.compaction for lower variance",
+                  file=sys.stderr)
+        img = np.asarray(img)
+    else:
+        img = np.asarray(jax.block_until_ready(run(scene, cam, opts, seed)))
     if postprocess:
         from .post import bloom_and_tonemap
         img = np.asarray(bloom_and_tonemap(img))
