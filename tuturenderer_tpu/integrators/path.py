@@ -57,6 +57,60 @@ def _zeros3(n):
     return Vec3(z, z, z)
 
 
+def _permute_state(state, order):
+    """Reorder (or subset, when ``order`` is shorter than the state) every
+    per-lane column of a wavefront-state pytree with TWO packed row
+    gathers instead of one gather per column.
+
+    XLA:TPU lowers a gather whose table doesn't fit VMEM to a
+    latency-bound per-row loop (~14ns/element/column measured,
+    tools/prof_gather.py); a 30-column state at multi-M lanes then costs
+    ~1s per reorder. Packing all f32 columns into one [N, Kf] matrix and
+    all int/bool columns into one [N, Ki] i32 matrix makes the whole
+    permutation two row gathers (~20ns/row) — a ~10x win. Float and
+    integer planes ride separate gathers because TPU float data movement
+    flushes denormals (small int32 ids bitcast through f32 would be
+    zeroed), and the f32 plane must stay differentiable (gather of
+    genuine f32 values has a clean scatter-add transpose)."""
+    leaves, treedef = jax.tree.flatten(state)
+    out = list(leaves)
+    f32 = [i for i, l in enumerate(leaves) if l.dtype == jnp.float32]
+    ints = [i for i, l in enumerate(leaves) if l.dtype != jnp.float32]
+    if f32:
+        packed = jnp.stack([leaves[i] for i in f32], axis=1)[order]
+        for j, i in enumerate(f32):
+            out[i] = packed[:, j]
+    if ints:
+        packed = jnp.stack([leaves[i].astype(jnp.int32) for i in ints],
+                           axis=1)[order]
+        for j, i in enumerate(ints):
+            out[i] = packed[:, j].astype(leaves[i].dtype)
+    return jax.tree.unflatten(treedef, out)
+
+
+_DEAD_KEY = jnp.int32(0x7FFFFFFF)
+
+
+def _sort_wavefront(scene: SceneData, state):
+    """Reorder the wavefront by the cluster intersector's octant-Morton
+    ray key, dead lanes last. Done ONCE at the end of each bounce, this
+    makes the wavefront PERMANENTLY tile-coherent: the next bounce's
+    nearest pass, its NEE shadow pass and the epilogue all run
+    presorted (no per-pass sort + permute + unpermute round-trips), and
+    compaction becomes a slice (live lanes are already in front).
+
+    (A single ~30-operand lax.sort would move the whole state at radix
+    speed, but multi-operand sorts inside lax.scan send this machine's
+    XLA:TPU compiler into a >20-minute stall — reproduced standalone with
+    a 31-operand sort in a 2-step scan — so the reorder stays
+    argsort + two packed row gathers, ~210ms at 4.2M lanes.)"""
+    from ..ops.pallas.cluster import ray_sort_keys
+    keys = ray_sort_keys(scene.clusters, state['o'], state['d'])
+    keys = jnp.where(state['alive'], keys, _DEAD_KEY)
+    order = jnp.argsort(keys)
+    return _permute_state(state, order)
+
+
 def apply_textures(scene: SceneData, hit, params: MatParams):
     """textureModify + changeNormalDir (IIntegrator.hpp:27-127): override
     diffuse/roughness/metallic from maps and perturb the shading normal via
@@ -128,6 +182,10 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
     n = orig.x.shape[0]
     eta_scene = scene.eta
     types = scene.mtype_set
+    # permanently-sorted wavefront mode (cluster scenes only): each bounce
+    # leaves the wavefront in octant-Morton order with dead lanes last
+    from ..ops.intersect import _dense_impl
+    presorted = scene.clusters is not None and _dense_impl() == "pallas"
     from ..scene.data import PERFECT_REFRACTIVE as _PR
     refr_possible = (MICROFACET_T in types) or (_PR in types)
     # detached-sampling autodiff: sampling decisions are piecewise-constant
@@ -172,7 +230,7 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         u = lambda purpose: rng.uniform(seed, state['lane'], state['smp'],
                                         depth, purpose)
 
-        core = intersect_core(scene, o, d, mask=alive)
+        core = intersect_core(scene, o, d, mask=alive, presorted=presorted)
         hit = shade_hit(scene, o, d, core)
         params = gather_material(scene, hit.mat)
         params, ns = apply_textures(scene, hit, params)
@@ -247,12 +305,14 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         if opts.alpha_shadows:
             # soft visibility: product of (1-alpha) over every occluder
             # (getShadowCoeffi, BVHStrategy.hpp:13-45)
-            sh_trans = transmittance(scene, sh_orig, sh_dir, dist_l)
+            sh_trans = transmittance(scene, sh_orig, sh_dir, dist_l,
+                                     mask=do_nee & ls.valid,
+                                     presorted=presorted)
             blocked = sh_trans <= 0.0
         else:
             sh_trans = None
             blocked = occluded(scene, sh_orig, sh_dir, dist_l,
-                               mask=do_nee & ls.valid)
+                               mask=do_nee & ls.valid, presorted=presorted)
         wi_l = (ls.pos - hit.pos)
         r2_l = wi_l.norm2()
         wi_l = wi_l.normalized(1e-20)
@@ -358,6 +418,8 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
             cont_ok=cont_ok & alive, em_ok=em_ok & alive,
             lane=state['lane'], smp=state['smp'], fkey=state['fkey'],
         )
+        if presorted:
+            new_state = _sort_wavefront(scene, new_state)
         return new_state, None
 
     def epilogue(state):
@@ -368,7 +430,8 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         nn = state['o'].x.shape[0]
         L = state['L']
         pending = state['alive'] & (state['from_kind'] == FROM_BSDF)
-        core = intersect_core(scene, state['o'], state['d'], mask=pending)
+        core = intersect_core(scene, state['o'], state['d'], mask=pending,
+                              presorted=presorted)
         hit = shade_hit(scene, state['o'], state['d'], core)
         params = gather_material(scene, hit.mat)
         emissive = params.emissive & pending & hit.hit
@@ -419,7 +482,8 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
             u = lambda purpose: rng.uniform(seed, state['lane'],
                                             state['smp'], depth, purpose)
 
-            core = intersect_core(scene, o, d, mask=alive)
+            core = intersect_core(scene, o, d, mask=alive,
+                                  presorted=presorted)
             hit = shade_hit(scene, o, d, core)
             params = gather_material(scene, hit.mat)
             params, ns = apply_textures(scene, hit, params)
@@ -471,12 +535,14 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
             dist_l = to_l.norm()
             sh_dir = to_l * (1.0 / jnp.maximum(dist_l, 1e-20))
             if opts.alpha_shadows:
-                sh_trans = transmittance(scene, sh_orig, sh_dir, dist_l)
+                sh_trans = transmittance(scene, sh_orig, sh_dir, dist_l,
+                                         mask=diff & ls.valid,
+                                         presorted=presorted)
                 blocked = sh_trans <= 0.0
             else:
                 sh_trans = None
                 blocked = occluded(scene, sh_orig, sh_dir, dist_l,
-                                   mask=diff & ls.valid)
+                                   mask=diff & ls.valid, presorted=presorted)
             p2l = (ls.pos - hit.pos).normalized(1e-20)
             cos_p = ls.ng.normalized(1e-20).dot(-p2l)
             cos_t = p2l.dot(hit.ns)                 # signed (hpp:306)
@@ -579,6 +645,8 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
                 alive=alive_next, from_kind=new_from,
                 lane=state['lane'], smp=state['smp'], fkey=state['fkey'],
             )
+            if presorted:
+                new_state = _sort_wavefront(scene, new_state)
             return new_state, None
 
         def epilogue(state):        # noqa: F811 — NEE-mode replacement
@@ -624,29 +692,57 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
                  film[1].at[ids].add(state['L'].y, mode='drop'),
                  film[2].at[ids].add(state['L'].z, mode='drop')))
 
-    def compact(state, k, depth):
-        """Shrink the wavefront to k lanes. If more than k lanes are live
+    def compact(state, film, k, depth):
+        """Shrink the wavefront to k lanes, flushing the radiance of the
+        lanes that leave it into the film. If more than k lanes are live
         (the schedule under-predicted), a uniformly random k-subset
         survives and is upweighted by cnt/k — stochastic lane roulette, an
         UNBIASED overflow policy (inclusion probability k/cnt exactly
         compensated), unlike the silent energy loss of truncation. A
-        runtime warning is printed when it engages."""
+        runtime warning is printed when it engages.
+
+        In the permanently-sorted pipeline the bounce body already left
+        live lanes in front (dead lanes carry the max sort key), so the
+        common no-overflow case is a FREE slice that flushes only the
+        dropped TAIL (survivors keep accumulating L in-wavefront — the
+        full-width 3-channel scatter-add was ~37ms per boundary at 4.2M
+        lanes); the roulette gather + full flush run only under lax.cond
+        when the count actually overflows. Unsorted pipelines pay one
+        full flush + packed-row-gather reorder (see _permute_state)."""
         alive = state['alive']
         nn = alive.shape[0]
         cnt = jnp.sum(alive.astype(jnp.int32))
-        pri = rng.uniform(seed, state['lane'], state['smp'], depth,
-                          rng.COMPACT)
-        key = jnp.where(alive, pri, 2.0)
-        order = jnp.argsort(key)
-        pos = order[:k]
-        valid = jnp.arange(k) < cnt
-        new = jax.tree.map(lambda a: a[pos], state)
-        new['alive'] = new['alive'] & valid
-        new['L'] = _zeros3(k)
         over = cnt > k
+
+        def roulette(arg):
+            st, fl = arg
+            fl = flush(fl, st)
+            pri = rng.uniform(seed, st['lane'], st['smp'], depth,
+                              rng.COMPACT)
+            key = jnp.where(st['alive'], pri, 2.0)
+            order = jnp.argsort(key)
+            new = _permute_state(st, order[:k])
+            new['L'] = _zeros3(k)
+            return new, fl
+
+        def tail_slice(arg):
+            st, fl = arg
+            ids = st['fkey'][k:]
+            fl = (fl[0].at[ids].add(st['L'].x[k:], mode='drop'),
+                  fl[1].at[ids].add(st['L'].y[k:], mode='drop'),
+                  fl[2].at[ids].add(st['L'].z[k:], mode='drop'))
+            return jax.tree.map(lambda a: a[:k], st), fl
+
+        if presorted:
+            new, film = jax.lax.cond(over, roulette, tail_slice,
+                                     (state, film))
+        else:
+            new, film = roulette((state, film))
+        valid = jnp.arange(k) < cnt
+        new['alive'] = new['alive'] & valid
         # host-callback warning on CPU only: remote TPU backends (axon
-        # tunnel) reject host send/recv callbacks, and the roulette below
-        # is the actual correctness mechanism either way
+        # tunnel) reject host send/recv callbacks; on TPU the overflow
+        # count rides the collect_overflow output instead
         if jax.default_backend() == "cpu":
             jax.lax.cond(
                 over,
@@ -660,7 +756,7 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         for f in ('w', 'w_em', 'w_cont'):
             if f in new:
                 new[f] = new[f] * factor
-        return new, jnp.maximum(cnt - k, 0)
+        return new, film, jnp.maximum(cnt - k, 0)
 
     # group consecutive equal fractions into segments so each segment is a
     # single lax.scan over a shared bounce body at one width — the unrolled
@@ -679,8 +775,7 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
     for frac, depths in segments:
         k = min(int(-(-int(n * frac) // 1024) * 1024), n)
         if k < cur['o'].x.shape[0]:
-            film = flush(film, cur)
-            cur, over = compact(cur, k, depths[0])
+            cur, film, over = compact(cur, film, k, depths[0])
             over_total = over_total + over
         cur, _ = jax.lax.scan(bounce_body, cur,
                               jnp.asarray(depths, dtype=jnp.int32))

@@ -232,7 +232,7 @@ def _mask_rays(orig: Vec3, d: Vec3, mask):
 
 
 def intersect_core(scene: SceneData, orig: Vec3, d: Vec3,
-                   mask=None) -> HitCore:
+                   mask=None, presorted: bool = False) -> HitCore:
     """Nearest hit of each ray against the whole scene. Uses the flattened
     BVH when the scene carries one (large meshes); dense streaming
     otherwise — the strategy selection mirroring the reference's EXPEDITE
@@ -240,13 +240,21 @@ def intersect_core(scene: SceneData, orig: Vec3, d: Vec3,
 
     ``mask`` (optional bool [N]): lanes with mask=False are dead wavefront
     lanes; they are traced as degenerate never-hit rays (see _mask_rays)
-    so they cost nothing in the tile-culling kernels."""
+    so they cost nothing in the tile-culling kernels.
+
+    ``presorted=True``: the caller guarantees the wavefront is already in
+    octant-Morton tile order (the path integrator keeps its wavefront
+    permanently sorted); the cluster path then skips its own sort +
+    permute round-trip — at multi-M lane counts the two packed row
+    gathers per pass are a triple-digit-ms cost (latency-bound ~20ns/row,
+    see tools/prof_gather.py)."""
     if mask is not None:
         orig, d = _mask_rays(orig, d, mask)
     if scene.clusters is not None and _dense_impl() == "pallas":
         from .pallas.cluster import cluster_intersect
         t, idx, bu, bv = cluster_intersect(scene.clusters, orig, d,
-                                           sort=True)
+                                           sort=not presorted,
+                                           live=mask if presorted else None)
         best = HitCore(t=t, kind=jnp.zeros_like(idx), idx=idx, bu=bu, bv=bv)
     elif scene.bvh is not None:
         from .bvh import bvh_intersect
@@ -288,7 +296,7 @@ def _sphere_occluded(scene: SceneData, orig: Vec3, d: Vec3, dist) -> jnp.ndarray
 
 
 def occluded(scene: SceneData, orig: Vec3, d: Vec3, dist,
-             mask=None) -> jnp.ndarray:
+             mask=None, presorted: bool = False) -> jnp.ndarray:
     """Any-hit within ``dist`` (shadow ray). Mirrors hasIntersection
     (BVH.hpp:170-194) incl. the FLOAT_EQUAL guard at the endpoint.
 
@@ -305,7 +313,9 @@ def occluded(scene: SceneData, orig: Vec3, d: Vec3, dist,
         dist = jnp.where(mask, dist, 0.0)
     if scene.clusters is not None and _dense_impl() == "pallas":
         from .pallas.cluster import cluster_occluded
-        blocked = cluster_occluded(scene.clusters, orig, d, dist, sort=True)
+        blocked = cluster_occluded(scene.clusters, orig, d, dist,
+                                   sort=not presorted,
+                                   live=mask if presorted else None)
         if scene.n_spheres:
             blocked = blocked | _sphere_occluded(scene, orig, d, dist)
         return blocked
@@ -328,7 +338,7 @@ def occluded(scene: SceneData, orig: Vec3, d: Vec3, dist,
 
 
 def transmittance(scene: SceneData, orig: Vec3, d: Vec3, dist,
-                  mask=None) -> jnp.ndarray:
+                  mask=None, presorted: bool = False) -> jnp.ndarray:
     """Alpha-weighted shadow coefficient: the product of ``(1 - alpha)``
     over EVERY primitive the shadow ray crosses within ``dist`` — the
     strategy layer's getShadowCoeffi/ShadowHelper (BVHStrategy.hpp:13-45,
@@ -351,7 +361,8 @@ def transmittance(scene: SceneData, orig: Vec3, d: Vec3, dist,
     if scene.clusters is not None and _dense_impl() == "pallas":
         from .pallas.cluster import cluster_transmittance
         trans = cluster_transmittance(scene.clusters, orig, d, dist,
-                                      sort=True)
+                                      sort=not presorted,
+                                      live=mask if presorted else None)
         if scene.n_spheres:
             trans = trans * _sphere_transmittance(scene, orig, d, dist)
         return trans

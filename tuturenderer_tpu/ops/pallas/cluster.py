@@ -202,6 +202,32 @@ def _visit_lists(aabb, ox, oy, oz, dx, dy, dz, live, dist, rows):
     below = oh < bl
     above = ol > bh
     reach = overlap | (below & (dh > 0.0)) | (above & (dl < 0.0))
+    if dist is not None:
+        # segment-hull clip (shadow/transmittance rays have KNOWN
+        # endpoints): every point of every live segment lies in the AABB
+        # of {origins} ∪ {endpoints}, so clusters outside it are
+        # unreachable. Interval beam arithmetic cannot see that shadow
+        # rays CONVERGE on the light — its lateral spread at distance t
+        # is origin-box + t·(direction box), which for a tile of rays
+        # aimed at one small emitter overestimates wildly; the hull of
+        # the two endpoint sets is tight. Conservative: pure box logic,
+        # no division. Measured on sphere_100k d0 shadow rays: mean
+        # reachable clusters/tile 143 -> 32.
+        ex = rs(ox + dist * dx)
+        ey = rs(oy + dist * dy)
+        ez = rs(oz + dist * dz)
+        big_ = jnp.float32(F32_MAX)
+        exl = lambda a: jnp.min(jnp.where(lv, a, big_), axis=1)
+        exh = lambda a: jnp.max(jnp.where(lv, a, -big_), axis=1)
+        el = jnp.stack([exl(ex), exl(ey), exl(ez)], 1)[:, None, :]
+        eh = jnp.stack([exh(ex), exh(ey), exh(ez)], 1)[:, None, :]
+        hull_lo = jnp.minimum(ol, el)
+        hull_hi = jnp.maximum(oh, eh)
+        margin = 1e-5 * jnp.maximum(jnp.abs(hull_lo),
+                                    jnp.abs(hull_hi)) + 1e-4
+        hull_lo = hull_lo - margin
+        hull_hi = hull_hi + margin
+        reach = reach & (bl <= hull_hi) & (bh >= hull_lo)
     enter_b = (bl - oh) / jnp.maximum(dh, eps)
     enter_a = (bh - ol) / jnp.minimum(dl, -eps)
     enter = jnp.where(overlap, 0.0, jnp.where(below, enter_b, enter_a))
