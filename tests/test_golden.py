@@ -181,6 +181,27 @@ def test_nee_only_matches_reference_golden(seed):
     compare(golden, ours, 16, 0.035, 0.03, 0.006)
 
 
+@pytest.mark.parametrize("seed", [5, 17])
+def test_naive_pt_matches_reference_golden(seed):
+    """Naive PT against the reference oracle (integrator naivept,
+    NaivePT.hpp:23-170) on Cornell at 128x128. Under the leaked
+    MAXDEPTH=2 macro (include-order quirk, Renderer.hpp:27-28 /
+    LightTracing.hpp:6) the eye path stops at vertex 1, so the
+    reference's output is EXACTLY the directly-visible light patch —
+    deterministic (oracle rendered at 512 spp and 64 spp is
+    bit-identical), every lit pixel saturated. Our naive integrator with
+    the matching lt_max_depth=2 must reproduce the patch pixel-for-pixel;
+    thresholds are tight because no Monte Carlo noise survives."""
+    from tuturenderer_tpu.integrators.naive import render
+    from tuturenderer_tpu.scene.presets import cornell_box
+
+    golden = load_golden("cornell_naive_512spp.ppm")
+    scene, cam = cornell_box(width=128, height=128)
+    ours = quantize(render(scene, cam,
+                           oracle_opts(spp=4, lt_max_depth=2), seed=seed))
+    compare(golden, ours, 16, 0.01, 0.005, 0.002)
+
+
 def test_cornell_flagship_512spp_matches_reference_golden():
     """BASELINE.md's flagship row: Cornell box at 512 spp, image-allclose
     to the reference. The reference renders single-threaded (its threaded

@@ -2,8 +2,8 @@
 compile-time branch (PathTracing.hpp:281-347) with its delta handler
 calcForMirror (PathTracing.hpp:50-70).
 
-Fast structural checks run always; the mean-convergence cross-check is
-TUTU_SLOW-gated like the other estimator consistency tests.
+Fast structural checks run always; the mean-convergence cross-check runs
+in the default suite too (TUTU_FAST=1 skips it for quick iteration).
 """
 import dataclasses
 import os
@@ -79,8 +79,8 @@ def test_nee_mirror_image_of_emitter_is_black():
     assert img_nee[..., 0][bright].max() == 0.0
 
 
-@pytest.mark.skipif(os.environ.get("TUTU_SLOW") != "1",
-                    reason="mean-convergence check is slow; set TUTU_SLOW=1")
+@pytest.mark.skipif(os.environ.get("TUTU_FAST") == "1",
+                    reason="TUTU_FAST=1 skips the slower consistency checks")
 def test_nee_converges_to_mis_mean_on_diffuse_scene():
     """On an all-Lambertian scene both estimators are unbiased for the same
     transport, so their mean images agree to Monte Carlo noise while the

@@ -112,6 +112,15 @@ def run_fast(include_veach: bool = True) -> dict:
         img = render_bdpt(scene, cam, _opts(spp=64), seed=7)
         return _load("veach_160.ppm"), _quant(img), (8, 0.1, 0.04, 0.012)
 
+    def naive():
+        # deterministic under the leaked MAXDEPTH=2: the oracle is exactly
+        # the directly-visible light patch (tests/test_golden.py docstring)
+        from tuturenderer_tpu.integrators.naive import render as render_naive
+        scene, cam = cornell_box(width=128, height=128)
+        img = render_naive(scene, cam, _opts(spp=4, lt_max_depth=2), seed=5)
+        return _load("cornell_naive_512spp.ppm"), _quant(img), \
+            (16, 0.01, 0.005, 0.002)
+
     def flagship():
         # BASELINE.md's headline row: Cornell @ 512 spp vs the reference
         # (256^2 oracle; thresholds sqrt(8) tighter than the 64-spp ones)
@@ -124,6 +133,7 @@ def run_fast(include_veach: bool = True) -> dict:
     run("cornell_pt", cornell)
     run("cornell_lt", light)
     run("cornell_nee", nee)
+    run("naive_pt", naive)
     run("mft", mft)
     run("tex", tex)
     if include_veach:
