@@ -116,7 +116,7 @@ def bench_veach_bdpt(width=400, height=300, spp=8):
     from tuturenderer_tpu.scene.presets import veach_bdpt
 
     scene, cam = veach_bdpt(width=width, height=height)
-    opts = RenderOptions(spp=spp)
+    opts = RenderOptions(spp=spp, samples_per_launch=spp)
     dt, img = _timed(lambda s: render(scene, cam, opts, s), 1)
     arr = np.asarray(img)
     print(f"# veach bdpt wall={dt:.3f}s spp={spp} mean={arr.mean():.4f} "

@@ -79,3 +79,24 @@ def test_mis_weights_partition_unity(monkeypatch):
     w21 = float(B.mis_weight(scene, cam, [camv], [lv0, lv1], 2, 1, eta)[0])
     np.testing.assert_allclose(w03 + w12 + w21, 1.0, rtol=1e-5)
     assert 0 < w21 < 1 and 0 < w12 < 1 and 0 < w03 < 1
+
+
+def test_bdpt_batched_spp_matches_unbatched():
+    """samples_per_launch batches spp into one (sample, pixel) wavefront
+    purely for launch amortization; the counter-based RNG keys on
+    (pixel-lane, sample) so the image must be bit-identical to the
+    sequential schedule."""
+    import dataclasses
+
+    import numpy as np
+
+    from tests.test_grad import diffuse_box
+    from tuturenderer_tpu.integrators.bdpt import render
+    from tuturenderer_tpu.options import RenderOptions
+
+    scene, cam = diffuse_box(32)
+    o1 = RenderOptions(spp=4, bdpt_max_path_length=4)
+    o2 = dataclasses.replace(o1, samples_per_launch=4)
+    a = np.asarray(render(scene, cam, o1, 7))
+    b = np.asarray(render(scene, cam, o2, 7))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)

@@ -109,7 +109,8 @@ def run_fast(include_veach: bool = True) -> dict:
 
     def veach():
         scene, cam = veach_bdpt(width=160, height=120)
-        img = render_bdpt(scene, cam, _opts(spp=64), seed=7)
+        img = render_bdpt(scene, cam, _opts(spp=64, samples_per_launch=16),
+                          seed=7)
         return _load("veach_160.ppm"), _quant(img), (8, 0.1, 0.04, 0.012)
 
     def naive():

@@ -99,16 +99,34 @@ def _sort_wavefront(scene: SceneData, state):
     presorted (no per-pass sort + permute + unpermute round-trips), and
     compaction becomes a slice (live lanes are already in front).
 
-    (A single ~30-operand lax.sort would move the whole state at radix
-    speed, but multi-operand sorts inside lax.scan send this machine's
-    XLA:TPU compiler into a >20-minute stall — reproduced standalone with
-    a 31-operand sort in a 2-step scan — so the reorder stays
-    argsort + two packed row gathers, ~210ms at 4.2M lanes.)"""
+    The reorder runs as TWO <=16-operand lax.sort calls sharing the same
+    key (f32 plane + int/bool plane): XLA's radix sort moves value
+    operands at near-bandwidth (~64ms per 16-operand sort at 4.2M lanes)
+    where packed row gathers are a ~30ns/row latency-bound loop (~240ms
+    for the same state; tools/prof_gather.py). A single 31-operand sort
+    would be cheaper still, but >16 operands inside lax.scan stall this
+    machine's XLA:TPU compiler for 20+ minutes (reproduced standalone)."""
     from ..ops.pallas.cluster import ray_sort_keys
     keys = ray_sort_keys(scene.clusters, state['o'], state['d'])
     keys = jnp.where(state['alive'], keys, _DEAD_KEY)
-    order = jnp.argsort(keys)
-    return _permute_state(state, order)
+    leaves, treedef = jax.tree.flatten(state)
+    f32 = [i for i, l in enumerate(leaves) if l.dtype == jnp.float32]
+    ints = [i for i, l in enumerate(leaves) if l.dtype != jnp.float32]
+    out = list(leaves)
+    groups = [f32[:15], f32[15:] + ints]
+    for grp in groups:
+        if not grp:
+            continue
+        assert len(grp) <= 15, "keep each sort at <=16 operands"
+        ops = tuple(leaves[i].astype(jnp.int32)
+                    if leaves[i].dtype == jnp.bool_ else leaves[i]
+                    for i in grp)
+        res = jax.lax.sort((keys,) + ops, dimension=0, num_keys=1,
+                           is_stable=True)
+        for j, i in enumerate(grp):
+            out[i] = res[1 + j].astype(jnp.bool_) \
+                if leaves[i].dtype == jnp.bool_ else res[1 + j]
+    return jax.tree.unflatten(treedef, out)
 
 
 def apply_textures(scene: SceneData, hit, params: MatParams):
