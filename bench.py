@@ -133,10 +133,13 @@ def bench_sphere_100k(width=512, height=512, spp=16):
     opts = RenderOptions(spp=spp)
     fracs = _probe_alive_fractions(scene, cam, opts)
     # wavefront compaction schedule auto-derived from the measured live
-    # fractions (2x safety margin; excess live lanes would be dropped):
-    # on this scene alive collapses to 21%/7%/3%... after bounce 1, and
-    # compaction measured 32.7s -> 12.7s (identical image mean)
-    sched = tuple(float(min(1.0, max(2.0 * f, 0.01))) for f in fracs[:-1])
+    # fractions. 1.5x safety margin: overflow is handled by the UNBIASED
+    # lane roulette and surfaced via render(stats=True), so a tight
+    # schedule trades a rare variance bump for ~15% less kernel width at
+    # the expensive early bounces; it also makes every segment
+    # single-bounce, which lets the bounce-end reorder take the
+    # radix-sort path (see path.py _sort_wavefront)
+    sched = tuple(float(min(1.0, max(1.5 * f, 0.01))) for f in fracs[:-1])
     # all spp share one wavefront: bigger sorted wavefronts give the
     # cluster intersector tighter (octant, origin)-pure ray tiles
     copts = RenderOptions(spp=spp, compaction=sched, samples_per_launch=spp)
@@ -146,6 +149,45 @@ def bench_sphere_100k(width=512, height=512, spp=16):
     print(f"# sphere_100k ({scene.n_tris} tris) wall={dt:.3f}s spp={spp} "
           f"mean={arr.mean():.4f} fracs={np.round(fracs, 3).tolist()} "
           f"compaction={np.round(sched, 3).tolist()}", file=sys.stderr)
+    return rays / dt
+
+
+def bench_sphere_fwdbwd(width=256, height=256, spp=2):
+    """Large-scene differentiability evidence (VERDICT r3 #8): forward+
+    backward through the CLUSTER-path intersector (the Pallas kernels are
+    geometry-only, so detached-sampling autodiff never differentiates
+    through them), plus a finite-difference check of one material
+    parameter on the same scene."""
+    from tuturenderer_tpu.grad import get_params, render_diff
+    from tuturenderer_tpu.models.scenes import sphere_showcase
+    from tuturenderer_tpu.options import RenderOptions
+
+    scene, cam = sphere_showcase(width=width, height=height)
+    opts = RenderOptions(spp=spp)
+    fracs = _probe_alive_fractions(scene, cam, opts)
+    params = get_params(scene)
+
+    @jax.jit
+    def loss(p, seed):
+        return jnp.mean(render_diff(p, scene, cam, opts, seed))
+
+    grad_fn = jax.jit(jax.grad(loss))
+    dt, g = _timed(lambda s: grad_fn(params, s), 1)
+    rays = width * height * spp * _rays_per_path(fracs)
+
+    # FD check: sphere material's diffuse red channel (mat 0)
+    eps = 1e-2
+    bump = jax.tree.map(jnp.zeros_like, params)
+    bump = bump._replace(diffuse=bump.diffuse._replace(
+        x=bump.diffuse.x.at[0].set(1.0)))
+    lp = float(loss(jax.tree.map(lambda a, b: a + eps * b, params, bump), 1))
+    lm = float(loss(jax.tree.map(lambda a, b: a - eps * b, params, bump), 1))
+    fd = (lp - lm) / (2 * eps)
+    ad = float(g.diffuse.x[0])
+    rel = abs(fd - ad) / max(abs(fd), 1e-12)
+    print(f"# sphere fwd+bwd wall={dt:.3f}s spp={spp} grad_ad={ad:.6g} "
+          f"grad_fd={fd:.6g} rel_err={rel:.3f}", file=sys.stderr)
+    assert rel < 0.05, f"large-scene FD mismatch: ad={ad} fd={fd}"
     return rays / dt
 
 
@@ -165,6 +207,11 @@ def main():
         extras["sphere_100k_rays_per_sec"] = round(bench_sphere_100k(), 0)
     except Exception as e:
         print(f"# sphere_100k bench failed: {e!r}", file=sys.stderr)
+    try:
+        extras["sphere_fwdbwd_rays_per_sec"] = round(
+            bench_sphere_fwdbwd(), 0)
+    except Exception as e:
+        print(f"# sphere fwd+bwd bench failed: {e!r}", file=sys.stderr)
     try:
         # oracle status line (VERDICT r2 #7): the golden comparisons run
         # on-device every round so the artifacts carry pass/fail, not

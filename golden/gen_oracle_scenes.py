@@ -120,6 +120,52 @@ f {1+o}/1 {3+o}/3 {4+o}/4
 """
 
 
+def mesh_bdpt_body(o, nu=96, nv=96):
+    """A ~18k-triangle smooth UV sphere (MICROFACET_R) over a diffuse
+    floor, all INLINE v/vn/f geometry — the mesh-scale end-to-end oracle
+    (VERDICT r3 missing #2): the reference parses it through readObject
+    (PPMGenerator.hpp:328-482) into its BVH + BDPT; this framework parses
+    the same file into the cluster-culling intersector + wavefront BDPT.
+    Inline geometry rather than OBJ because the reference's config
+    grammar has no obj keyword (OBJ loads are hard-coded in the mains);
+    OBJ-loader parity is pinned separately in tests/test_native.py."""
+    lines = ["mtlcolor 0.7 0.7 0.7 1 1 1 1.0 1.0",
+             "v -2 -0.5 2", "v 2 -0.5 2", "v 2 -0.5 -2", "v -2 -0.5 -2",
+             f"f {1+o} {2+o} {3+o}", f"f {1+o} {3+o} {4+o}",
+             "MICROFACET_R 0.8 0.3 0.2 1.0 1.0 0.3 0.2"]
+    vo = 4 + o          # vertex index offset (floor quad above)
+    no = o and 1 or 0   # the framework variant's light quad adds ONE vn
+    no = 1 if o else 0
+    r, cy = 0.55, 0.05
+    import math
+    for i in range(nu + 1):
+        th = 2 * math.pi * i / nu
+        for j in range(nv + 1):
+            ph = math.pi * j / nv
+            x = math.cos(th) * math.sin(ph)
+            y = math.cos(ph)
+            z = math.sin(th) * math.sin(ph)
+            lines.append(f"v {r*x:.6f} {cy + r*y:.6f} {r*z:.6f}")
+            lines.append(f"vn {x:.6f} {y:.6f} {z:.6f}")
+    def vid(i, j):
+        return vo + i * (nv + 1) + j + 1
+    def nid(i, j):
+        return no + i * (nv + 1) + j + 1
+    for i in range(nu):
+        for j in range(nv):
+            a, b = (i, j), (i + 1, j)
+            c, d = (i + 1, j + 1), (i, j + 1)
+            if j > 0:        # degenerate at the pole
+                lines.append(
+                    f"f {vid(*a)}//{nid(*a)} {vid(*b)}//{nid(*b)} "
+                    f"{vid(*c)}//{nid(*c)}")
+            if j < nv - 1:
+                lines.append(
+                    f"f {vid(*a)}//{nid(*a)} {vid(*c)}//{nid(*c)} "
+                    f"{vid(*d)}//{nid(*d)}")
+    return "\n".join(lines) + "\n"
+
+
 def main():
     gen_textures()
     for name, body in (("mft_128", mft_body), ("tex_128", tex_body)):
@@ -127,7 +173,13 @@ def main():
             f.write(HEADER + body(0))
         with open(os.path.join(HERE, f"{name}.txt"), "w") as f:
             f.write(HEADER + LIGHT_QUAD + body(4))
-    print("wrote mft_128[_ref].txt tex_128[_ref].txt + tex/")
+    bdpt_header = HEADER.replace("integrator path", "integrator bdpt")
+    with open(os.path.join(HERE, "mesh_bdpt_128_ref.txt"), "w") as f:
+        f.write(bdpt_header + mesh_bdpt_body(0))
+    with open(os.path.join(HERE, "mesh_bdpt_128.txt"), "w") as f:
+        f.write(bdpt_header + LIGHT_QUAD + mesh_bdpt_body(4))
+    print("wrote mft_128[_ref].txt tex_128[_ref].txt "
+          "mesh_bdpt_128[_ref].txt + tex/")
 
 
 if __name__ == "__main__":

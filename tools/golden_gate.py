@@ -131,15 +131,37 @@ def run_fast(include_veach: bool = True) -> dict:
         return _load("cornell_flagship_256.ppm"), _quant(img), \
             (16, 0.008, 0.012, 0.003)
 
+    def flagship_1024():
+        # the EXACT published flagship: 1024x1024 @ 512 spp
+        # (README.md:74-75, img/spp512_1900sec.png; reference oracle
+        # rendered single-threaded at full scale)
+        scene, cam = cornell_box(width=1024, height=1024)
+        img = render_path(scene, cam,
+                          _opts(spp=512, samples_per_launch=2), seed=13)
+        return _load("cornell_flagship_1024.ppm"), _quant(img), \
+            (16, 0.008, 0.012, 0.003)
+
+    def mesh_bdpt():
+        # mesh-scale end-to-end: ~18k-tri inline sphere through the
+        # cluster intersector + wavefront BDPT (tests/test_golden.py
+        # docstring)
+        img = render_config(os.path.join(GOLDEN_DIR, "mesh_bdpt_128.txt"),
+                            _opts(spp=64, samples_per_launch=16), seed=9,
+                            verbose=False)
+        return _load("mesh_bdpt_128_ref.ppm"), _quant(img), \
+            (8, 0.1, 0.04, 0.012)
+
     run("cornell_pt", cornell)
     run("cornell_lt", light)
     run("cornell_nee", nee)
     run("naive_pt", naive)
+    run("mesh_bdpt", mesh_bdpt)
     run("mft", mft)
     run("tex", tex)
     if include_veach:
         run("veach_bdpt", veach)
     run("cornell_flagship_512spp", flagship)
+    run("cornell_flagship_1024px", flagship_1024)
     return out
 
 

@@ -91,7 +91,7 @@ def _permute_state(state, order):
 _DEAD_KEY = jnp.int32(0x7FFFFFFF)
 
 
-def _sort_wavefront(scene: SceneData, state):
+def _sort_wavefront(scene: SceneData, state, radix: bool = False):
     """Reorder the wavefront by the cluster intersector's octant-Morton
     ray key, dead lanes last. Done ONCE at the end of each bounce, this
     makes the wavefront PERMANENTLY tile-coherent: the next bounce's
@@ -99,25 +99,29 @@ def _sort_wavefront(scene: SceneData, state):
     presorted (no per-pass sort + permute + unpermute round-trips), and
     compaction becomes a slice (live lanes are already in front).
 
-    The reorder runs as TWO <=16-operand lax.sort calls sharing the same
-    key (f32 plane + int/bool plane): XLA's radix sort moves value
-    operands at near-bandwidth (~64ms per 16-operand sort at 4.2M lanes)
-    where packed row gathers are a ~30ns/row latency-bound loop (~240ms
-    for the same state; tools/prof_gather.py). A single 31-operand sort
-    would be cheaper still, but >16 operands inside lax.scan stall this
-    machine's XLA:TPU compiler for 20+ minutes (reproduced standalone)."""
+    ``radix=True`` moves the state with TWO <=16-operand lax.sort calls
+    sharing the key — XLA's radix sort carries value operands at
+    near-bandwidth (~128ms for the 30-column state at 4.2M lanes vs
+    ~240ms for argsort + packed row gathers, which are a ~30ns/row
+    latency-bound loop). ONLY SAFE OUTSIDE lax.scan: value-carrying
+    sorts inside a scan body stall this machine's XLA:TPU compiler
+    indefinitely (a 31-operand sort in a 2-step scan never finished;
+    two 16-operand sorts per scanned bounce pushed the full render's
+    compile past 25 minutes). Scanned bounce bodies pass radix=False."""
     from ..ops.pallas.cluster import ray_sort_keys
     keys = ray_sort_keys(scene.clusters, state['o'], state['d'])
     keys = jnp.where(state['alive'], keys, _DEAD_KEY)
+    if not radix:
+        order = jnp.argsort(keys)
+        return _permute_state(state, order)
     leaves, treedef = jax.tree.flatten(state)
     f32 = [i for i, l in enumerate(leaves) if l.dtype == jnp.float32]
     ints = [i for i, l in enumerate(leaves) if l.dtype != jnp.float32]
     out = list(leaves)
-    groups = [f32[:15], f32[15:] + ints]
-    for grp in groups:
+    for grp in (f32[:15], f32[15:] + ints):
         if not grp:
             continue
-        assert len(grp) <= 15, "keep each sort at <=16 operands"
+        assert len(grp) <= 15, "keep each lax.sort at <=16 operands"
         ops = tuple(leaves[i].astype(jnp.int32)
                     if leaves[i].dtype == jnp.bool_ else leaves[i]
                     for i in grp)
@@ -436,8 +440,6 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
             cont_ok=cont_ok & alive, em_ok=em_ok & alive,
             lane=state['lane'], smp=state['smp'], fkey=state['fkey'],
         )
-        if presorted:
-            new_state = _sort_wavefront(scene, new_state)
         return new_state, None
 
     def epilogue(state):
@@ -663,8 +665,6 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
                 alive=alive_next, from_kind=new_from,
                 lane=state['lane'], smp=state['smp'], fkey=state['fkey'],
             )
-            if presorted:
-                new_state = _sort_wavefront(scene, new_state)
             return new_state, None
 
         def epilogue(state):        # noqa: F811 — NEE-mode replacement
@@ -678,7 +678,18 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
     # records, BSDF terms, ...) as HBM residuals, and the backward pass is
     # bandwidth-bound on residual traffic; recomputing the bounce from its
     # carry is far cheaper on TPU
-    bounce_body = jax.checkpoint(bounce) if opts.differentiable else bounce
+    bounce_core = jax.checkpoint(bounce) if opts.differentiable else bounce
+
+    def bounce_scan_body(st, depth):
+        """Scanned form: the bounce-end reorder must use the gather path
+        (value-carrying lax.sort inside scan stalls the compiler, see
+        _sort_wavefront)."""
+        new, _ = bounce_core(st, depth)
+        if presorted:
+            new = _sort_wavefront(scene, new, radix=False)
+        return new, None
+
+    bounce_body = bounce_scan_body
 
     sched = opts.compaction
     if not sched:
@@ -795,8 +806,18 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         if k < cur['o'].x.shape[0]:
             cur, film, over = compact(cur, film, k, depths[0])
             over_total = over_total + over
-        cur, _ = jax.lax.scan(bounce_body, cur,
-                              jnp.asarray(depths, dtype=jnp.int32))
+        if len(depths) == 1:
+            # single-bounce segment, unrolled (no scan wrapper). NOTE:
+            # radix=True here stalled the compiler just like the in-scan
+            # case — value-carrying multi-operand sorts are a no-go for
+            # this machine's XLA:TPU anywhere in a module of this size —
+            # so the reorder stays on the packed-gather path.
+            cur, _ = bounce_core(cur, jnp.int32(depths[0]))
+            if presorted:
+                cur = _sort_wavefront(scene, cur, radix=False)
+        else:
+            cur, _ = jax.lax.scan(bounce_body, cur,
+                                  jnp.asarray(depths, dtype=jnp.int32))
     L_final = epilogue(cur)
     ids = cur['fkey']
     film = (film[0].at[ids].add(L_final.x, mode='drop'),
