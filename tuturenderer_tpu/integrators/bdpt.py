@@ -640,8 +640,14 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
                      cat([v.z for v in occl_o]))
         all_d = Vec3(cat([v.x for v in occl_d]), cat([v.y for v in occl_d]),
                      cat([v.z for v in occl_d]))
+        # presorted=True: the concatenated wavefront is already
+        # strategy-blocked (each block's origins follow pixel order and
+        # its directions converge on one light/the camera), and a Morton
+        # re-sort of ~27n rays would cost two packed permutes of the
+        # whole buffer (~30ns/row, tools/prof_gather.py) — more than the
+        # coherence it buys
         blocked_all = occluded(scene, all_o, all_d, cat(occl_dist),
-                               mask=cat(occl_mask))
+                               mask=cat(occl_mask), presorted=True)
         blocked_rows = blocked_all.reshape(len(occl_o), n)
         for rec in pending:
             ok = rec['ok'] & ~blocked_rows[rec['q']]
@@ -702,9 +708,15 @@ def render(scene, cam: Camera, opts: RenderOptions, seed=0, sample_base=0):
             fb = fb.at[vidx].add(jnp.where(idx >= 0, rgb.z, 0.0), mode='drop')
         return fr, fg, fb
 
-    zeros = jnp.zeros((p,), jnp.float32)
-    fr, fg, fb = jax.lax.fori_loop(0, opts.spp // sb, body,
-                                   (zeros, zeros, zeros))
+    # the reference's film starts at bkgcolor and BDPT accumulates ON TOP
+    # with addRGB (Camera.hpp:28, BDPT.hpp:891-897) — every pixel carries
+    # bkg + estimate, not just primary misses. Invisible on the black-bkg
+    # flagship scenes; pinned by the mesh_bdpt oracle's 0.05/0.08 bkg.
+    ones = jnp.ones((p,), jnp.float32)
+    fr, fg, fb = jax.lax.fori_loop(
+        0, opts.spp // sb, body,
+        (ones * scene.bkgcolor.x, ones * scene.bkgcolor.y,
+         ones * scene.bkgcolor.z))
     img = jnp.stack([fr, fg, fb], axis=-1)
     img = jnp.where(jnp.isnan(img), 0.0, img)
     return img.reshape(cam.height, cam.width, 3)

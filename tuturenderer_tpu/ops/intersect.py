@@ -252,6 +252,13 @@ def intersect_core(scene: SceneData, orig: Vec3, d: Vec3,
         orig, d = _mask_rays(orig, d, mask)
     if scene.clusters is not None and _dense_impl() == "pallas":
         from .pallas.cluster import cluster_intersect
+        # Pallas kernels have no JVP rule; detached-sampling autodiff
+        # treats visibility as piecewise-constant anyway (grad.py), but
+        # the sorted-wavefront permute packs ray columns together with
+        # tangent-carrying throughput columns, leaving o/d with
+        # symbolically-nonzero (numerically zero) tangents — strip them
+        # at the kernel boundary, which is exact
+        orig, d = jax.lax.stop_gradient((orig, d))
         t, idx, bu, bv = cluster_intersect(scene.clusters, orig, d,
                                            sort=not presorted,
                                            live=mask if presorted else None)
@@ -313,6 +320,8 @@ def occluded(scene: SceneData, orig: Vec3, d: Vec3, dist,
         dist = jnp.where(mask, dist, 0.0)
     if scene.clusters is not None and _dense_impl() == "pallas":
         from .pallas.cluster import cluster_occluded
+        # tangent-strip at the Pallas boundary (see intersect_core)
+        orig, d, dist = jax.lax.stop_gradient((orig, d, dist))
         blocked = cluster_occluded(scene.clusters, orig, d, dist,
                                    sort=not presorted,
                                    live=mask if presorted else None)
@@ -360,6 +369,8 @@ def transmittance(scene: SceneData, orig: Vec3, d: Vec3, dist,
 
     if scene.clusters is not None and _dense_impl() == "pallas":
         from .pallas.cluster import cluster_transmittance
+        # tangent-strip at the Pallas boundary (see intersect_core)
+        orig, d, dist = jax.lax.stop_gradient((orig, d, dist))
         trans = cluster_transmittance(scene.clusters, orig, d, dist,
                                       sort=not presorted,
                                       live=mask if presorted else None)

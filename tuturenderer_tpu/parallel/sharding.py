@@ -314,6 +314,11 @@ def render_bdpt_sharded(scene: SceneData, cam: Camera, opts: RenderOptions,
                    out_specs=(P(px_axes, None), P(None, None)),
                    check_vma=False)
     est, splat = fn(lane)
-    img = est[:p] + splat
+    # reference film semantics: bkgcolor underlies every pixel and BDPT
+    # adds on top (Camera.hpp:28 + addRGB; see integrators/bdpt.render) —
+    # added ONCE here, after the cross-shard reductions
+    bkg = jnp.stack([scene.bkgcolor.x, scene.bkgcolor.y,
+                     scene.bkgcolor.z])[None, :]
+    img = est[:p] + splat + bkg
     img = jnp.where(jnp.isnan(img), 0.0, img)
     return img.reshape(cam.height, cam.width, 3)
