@@ -143,3 +143,34 @@ def test_ggx_sample_bug_broadens_half_vector():
                                atol=2e-3)
     # the bug broadens the lobe: lower mean cos(theta_h)
     assert cos_bug.mean() < cos_fix.mean() - 0.05
+
+
+def test_world_to_pixel_index_truncation_band():
+    """The reference bounds-checks the TRUNCATED ints (`int x =
+    (int)raster.x; if (x < 0...)`, Camera.hpp:52-55), so raster values in
+    (-1, 0) fold onto row/column 0 and are ACCEPTED — checking the float
+    instead turns frame-edge pixels dark in every We-weighted estimator
+    (caught by the mesh_bdpt oracle's one-row light-patch offset)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tuturenderer_tpu.camera import (make_camera, pixel_position,
+                                         world_to_pixel_index)
+    from tuturenderer_tpu.utils.vec import Vec3
+
+    cam = make_camera(64, 64, 55, eye=(0, 0.35, 2.6),
+                      viewdir=(0, -0.12, -1), updir=(0, 1, 0))
+    # points straddling the top edge: the center of pixel row 0 must map
+    # to row 0, and a point well above the frame must map to -1
+    p0 = pixel_position(cam, jnp.array([32]), jnp.array([0]))
+    idx0 = int(world_to_pixel_index(cam, p0)[0])
+    assert idx0 == 32, idx0   # row 0, col 32 — not -1
+    # the fold band is one raster unit deep; half a pixel above row 0's
+    # center stays in it (reference C-cast semantics)...
+    half = Vec3(cam.delta_v.x * -0.5, cam.delta_v.y * -0.5,
+                cam.delta_v.z * -0.5)
+    p_band = Vec3(p0.x + half.x, p0.y + half.y, p0.z + half.z)
+    assert int(world_to_pixel_index(cam, p_band)[0]) == 32
+    # ...while 2 pixels above is outside
+    p_out = Vec3(p0.x + 4 * half.x, p0.y + 4 * half.y, p0.z + 4 * half.z)
+    assert int(world_to_pixel_index(cam, p_out)[0]) == -1

@@ -208,11 +208,19 @@ def world_to_raster(cam: Camera, pos: Vec3):
 
 def world_to_pixel_index(cam: Camera, pos: Vec3):
     """Flat pixel index for a world point; -1 when outside the frustum
-    (Camera.hpp:51-78). Truncation toward zero matches the C cast."""
+    (Camera.hpp:51-78).
+
+    Bounds are checked on the TRUNCATED ints, exactly like the C code
+    (`int x = (int)raster.x; if (x < 0 ...)`, Camera.hpp:52-55): the C
+    cast truncates toward zero, so raster values in (-1, 0) fold onto
+    row/column 0 and are ACCEPTED. Checking the float against 0 instead
+    rejected that band and turned the frame's top/left edge pixels dark
+    in every We-weighted estimator (the one-row light-patch offset the
+    mesh_bdpt oracle caught)."""
     rx, ry = world_to_raster(cam, pos)
     ix = rx.astype(jnp.int32)
     iy = ry.astype(jnp.int32)
-    inside = (rx >= 0) & (ix < cam.width) & (ry >= 0) & (iy < cam.height)
+    inside = (ix >= 0) & (ix < cam.width) & (iy >= 0) & (iy < cam.height)
     return jnp.where(inside, ix + cam.width * iy, -1)
 
 
