@@ -136,9 +136,7 @@ def bench_sphere_100k(width=512, height=512, spp=16):
     # fractions. 1.5x safety margin: overflow is handled by the UNBIASED
     # lane roulette and surfaced via render(stats=True), so a tight
     # schedule trades a rare variance bump for ~15% less kernel width at
-    # the expensive early bounces; it also makes every segment
-    # single-bounce, which lets the bounce-end reorder take the
-    # radix-sort path (see path.py _sort_wavefront)
+    # the expensive early bounces
     sched = tuple(float(min(1.0, max(1.5 * f, 0.01))) for f in fracs[:-1])
     # all spp share one wavefront: bigger sorted wavefronts give the
     # cluster intersector tighter (octant, origin)-pure ray tiles

@@ -134,8 +134,7 @@ def mesh_bdpt_body(o, nu=96, nv=96):
              f"f {1+o} {2+o} {3+o}", f"f {1+o} {3+o} {4+o}",
              "MICROFACET_R 0.8 0.3 0.2 1.0 1.0 0.3 0.2"]
     vo = 4 + o          # vertex index offset (floor quad above)
-    no = o and 1 or 0   # the framework variant's light quad adds ONE vn
-    no = 1 if o else 0
+    no = 1 if o else 0  # the framework variant's light quad adds ONE vn
     r, cy = 0.55, 0.05
     import math
     for i in range(nu + 1):

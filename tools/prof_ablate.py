@@ -50,14 +50,14 @@ real_ic, real_oc = pathmod.intersect_core, pathmod.occluded
 t_full = timed("full render")
 
 # --- no NEE occlusion (shadow rays free, never blocked)
-pathmod.occluded = lambda sc, o, d, dist, mask=None: jnp.zeros(
+pathmod.occluded = lambda sc, o, d, dist, mask=None, **kw: jnp.zeros(
     o.x.shape, bool)
 t_noshadow = timed("no occlusion")
 
 # --- no nearest intersect either: fake hits for ~60% of lanes (keeps the
 # live-lane decay roughly on the bench profile so shading/compaction do
 # comparable work)
-def fake_core(sc, o, d, mask=None):
+def fake_core(sc, o, d, mask=None, **kw):
     n = o.x.shape[0]
     h = jnp.abs(d.x * 12345.678 + d.y * 777.7) % 1.0
     hit = h < 0.62

@@ -91,7 +91,7 @@ def _permute_state(state, order):
 _DEAD_KEY = jnp.int32(0x7FFFFFFF)
 
 
-def _sort_wavefront(scene: SceneData, state, radix: bool = False):
+def _sort_wavefront(scene: SceneData, state):
     """Reorder the wavefront by the cluster intersector's octant-Morton
     ray key, dead lanes last. Done ONCE at the end of each bounce, this
     makes the wavefront PERMANENTLY tile-coherent: the next bounce's
@@ -99,38 +99,17 @@ def _sort_wavefront(scene: SceneData, state, radix: bool = False):
     presorted (no per-pass sort + permute + unpermute round-trips), and
     compaction becomes a slice (live lanes are already in front).
 
-    ``radix=True`` moves the state with TWO <=16-operand lax.sort calls
-    sharing the key — XLA's radix sort carries value operands at
-    near-bandwidth (~128ms for the 30-column state at 4.2M lanes vs
-    ~240ms for argsort + packed row gathers, which are a ~30ns/row
-    latency-bound loop). ONLY SAFE OUTSIDE lax.scan: value-carrying
-    sorts inside a scan body stall this machine's XLA:TPU compiler
-    indefinitely (a 31-operand sort in a 2-step scan never finished;
-    two 16-operand sorts per scanned bounce pushed the full render's
-    compile past 25 minutes). Scanned bounce bodies pass radix=False."""
+    The reorder is argsort + packed row gathers (_permute_state). A
+    value-carrying multi-operand lax.sort would move the state at
+    near-bandwidth (~2x cheaper), but it stalls this machine's XLA:TPU
+    compiler indefinitely once embedded in a module of this size —
+    inside lax.scan AND unrolled (docs/PERF_R4.md "tried and
+    abandoned"); do not reintroduce it without a tiny-module proof."""
     from ..ops.pallas.cluster import ray_sort_keys
     keys = ray_sort_keys(scene.clusters, state['o'], state['d'])
     keys = jnp.where(state['alive'], keys, _DEAD_KEY)
-    if not radix:
-        order = jnp.argsort(keys)
-        return _permute_state(state, order)
-    leaves, treedef = jax.tree.flatten(state)
-    f32 = [i for i, l in enumerate(leaves) if l.dtype == jnp.float32]
-    ints = [i for i, l in enumerate(leaves) if l.dtype != jnp.float32]
-    out = list(leaves)
-    for grp in (f32[:15], f32[15:] + ints):
-        if not grp:
-            continue
-        assert len(grp) <= 15, "keep each lax.sort at <=16 operands"
-        ops = tuple(leaves[i].astype(jnp.int32)
-                    if leaves[i].dtype == jnp.bool_ else leaves[i]
-                    for i in grp)
-        res = jax.lax.sort((keys,) + ops, dimension=0, num_keys=1,
-                           is_stable=True)
-        for j, i in enumerate(grp):
-            out[i] = res[1 + j].astype(jnp.bool_) \
-                if leaves[i].dtype == jnp.bool_ else res[1 + j]
-    return jax.tree.unflatten(treedef, out)
+    order = jnp.argsort(keys)
+    return _permute_state(state, order)
 
 
 def apply_textures(scene: SceneData, hit, params: MatParams):
@@ -681,12 +660,9 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
     bounce_core = jax.checkpoint(bounce) if opts.differentiable else bounce
 
     def bounce_scan_body(st, depth):
-        """Scanned form: the bounce-end reorder must use the gather path
-        (value-carrying lax.sort inside scan stalls the compiler, see
-        _sort_wavefront)."""
         new, _ = bounce_core(st, depth)
         if presorted:
-            new = _sort_wavefront(scene, new, radix=False)
+            new = _sort_wavefront(scene, new)
         return new, None
 
     bounce_body = bounce_scan_body
@@ -807,14 +783,10 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
             cur, film, over = compact(cur, film, k, depths[0])
             over_total = over_total + over
         if len(depths) == 1:
-            # single-bounce segment, unrolled (no scan wrapper). NOTE:
-            # radix=True here stalled the compiler just like the in-scan
-            # case — value-carrying multi-operand sorts are a no-go for
-            # this machine's XLA:TPU anywhere in a module of this size —
-            # so the reorder stays on the packed-gather path.
+            # single-bounce segment, unrolled (no scan wrapper)
             cur, _ = bounce_core(cur, jnp.int32(depths[0]))
             if presorted:
-                cur = _sort_wavefront(scene, cur, radix=False)
+                cur = _sort_wavefront(scene, cur)
         else:
             cur, _ = jax.lax.scan(bounce_body, cur,
                                   jnp.asarray(depths, dtype=jnp.int32))

