@@ -151,9 +151,38 @@ def run_fast(include_veach: bool = True) -> dict:
         return _load("mesh_bdpt_128_ref.ppm"), _quant(img), \
             (8, 0.1, 0.04, 0.012)
 
+    def sharded_cluster():
+        """VERDICT r4 ask #3a: shard_map x Pallas cluster kernels x
+        presorted wavefront, compiled and compared on the real chip — a
+        1-device-mesh render_sharded(sphere_showcase) must equal the
+        single-device render (this composition caught the presorted
+        no-compaction lane-permutation bug in round 5)."""
+        from tuturenderer_tpu.models.scenes import sphere_showcase
+        from tuturenderer_tpu.parallel.sharding import (make_mesh,
+                                                        render_sharded)
+        scene, cam = sphere_showcase(width=128, height=128)
+        opts = _opts(spp=2)
+        mesh = make_mesh(1)
+        sh = np.asarray(render_sharded(scene, cam, opts, mesh, seed=3))
+        single = np.asarray(render_path(scene, cam, opts, seed=3))
+        err = float(np.abs(sh - single).max())
+        rel = err / max(float(np.abs(single).max()), 1e-6)
+        ok = rel < 2e-3 and np.isfinite(sh).all()
+        return ok, f"maxabs={err:.2e} rel={rel:.2e}"
+
+    def run_direct(name, fn):
+        t0 = time.time()
+        try:
+            ok, stats = fn()
+            out[name] = ("pass " if ok else "FAIL ") + \
+                f"{stats} [{time.time() - t0:.1f}s]"
+        except Exception as e:          # noqa: BLE001 — report, don't die
+            out[name] = f"ERROR {type(e).__name__}: {e}"
+
     run("cornell_pt", cornell)
     run("cornell_lt", light)
     run("cornell_nee", nee)
+    run_direct("sharded_cluster", sharded_cluster)
     run("naive_pt", naive)
     run("mesh_bdpt", mesh_bdpt)
     run("mft", mft)

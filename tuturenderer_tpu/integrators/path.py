@@ -667,6 +667,22 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
 
     bounce_body = bounce_scan_body
 
+    def unpermute(state, L):
+        """Presorted pipelines leave the wavefront in the LAST bounce's
+        octant-Morton order; restore caller lane order by scattering
+        through the film keys (a pure permutation here — every lane
+        survives when there is no compaction). Without this the
+        no-compaction cluster path returned PERMUTED per-lane radiance —
+        invisible to mean-reduced losses and the compacted bench renders
+        (which flush through fkey), caught by the round-5 sharded-cluster
+        check."""
+        if not presorted:
+            return L
+        ids = state['fkey']
+        z = jnp.zeros((n,))
+        return Vec3(z.at[ids].set(L.x), z.at[ids].set(L.y),
+                    z.at[ids].set(L.z))
+
     sched = opts.compaction
     if not sched:
         depths = jnp.arange(opts.max_depth + 1, dtype=jnp.int32)
@@ -677,12 +693,12 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
                 return new, cnt
             state, counts = jax.lax.scan(counting_body, state, depths)
             final = jnp.sum(state['alive'].astype(jnp.int32))
-            return epilogue(state), jnp.concatenate(
+            return unpermute(state, epilogue(state)), jnp.concatenate(
                 [counts, final[None]])
         state, _ = jax.lax.scan(bounce_body, state, depths)
         if collect_overflow:
-            return epilogue(state), jnp.zeros((), jnp.int32)
-        return epilogue(state)
+            return unpermute(state, epilogue(state)), jnp.zeros((), jnp.int32)
+        return unpermute(state, epilogue(state))
 
     # ---- compacted execution: unrolled bounce loop with a static shrink
     # schedule. Live lanes are gathered to the front of a smaller buffer

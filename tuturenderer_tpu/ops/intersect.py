@@ -453,15 +453,20 @@ def shade_hit(scene: SceneData, orig: Vec3, d: Vec3, core: HitCore) -> HitRecord
     zerov = Vec3(zeros, zeros, zeros)
 
     # triangle attributes. Two gather strategies, chosen by table size:
-    # small tables -> per-column gathers (XLA lowers them to select trees,
-    # ~free); large tables -> ONE packed-row gather from tri_shade (column
-    # gathers become per-lane loops at ~3.7 ms each at 262k lanes, and the
-    # row gather fetches all 20 fields for one loop's cost; but the row
-    # form is SLOWER than selects on small tables).
+    # tiny tables -> per-column gathers (XLA lowers them to vectorized
+    # select trees up to ~64 rows: ~2-3 ms at 960k lanes); anything
+    # bigger -> ONE packed-row gather from tri_shade. The crossover is
+    # sharp: from T=128 XLA switches a column gather to a serial per-lane
+    # loop (~6.4 ms PER COLUMN at 960k lanes regardless of T — the
+    # round-4 threshold of 4096 left Veach's 2308-triangle table on the
+    # column path, and the ~15 column gathers per walk pass were 1.24 s
+    # of the 2.6 s BDPT wall), while the packed-row gather fetches all
+    # 20 fields in ~3.2 ms total (tools/prof_shadegather.py, measured on
+    # chip at 960k lanes).
     if scene.n_tris:
         ti = jnp.where(is_tri, safe_idx, 0)
         w = 1.0 - core.bu - core.bv
-        if scene.n_tris > 4096:
+        if scene.n_tris > 64:
             rows = scene.tri_shade[ti]               # [N, 20]
             col = lambda j: rows[:, j]
         else:
