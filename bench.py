@@ -150,19 +150,26 @@ def bench_sphere_100k(width=512, height=512, spp=16):
     return rays / dt
 
 
-def bench_sphere_fwdbwd(width=256, height=256, spp=2):
+def bench_sphere_fwdbwd(width=256, height=256, spp=8):
     """Large-scene differentiability evidence (VERDICT r3 #8): forward+
     backward through the CLUSTER-path intersector (the Pallas kernels are
     geometry-only, so detached-sampling autodiff never differentiates
     through them), plus a finite-difference check of one material
-    parameter on the same scene."""
+    parameter on the same scene.
+
+    Launch shape matters as much as the backward pass: round 4 ran this
+    at spp=2 with one-sample launches (65k lanes) and measured 1.14 M
+    rays/s — mostly dispatch/width inefficiency, not backward cost. The
+    batched differentiable renderer (samples_per_launch + compaction
+    schedule, grad.py) traces the same streams at 0.5M-lane width."""
     from tuturenderer_tpu.grad import get_params, render_diff
     from tuturenderer_tpu.models.scenes import sphere_showcase
     from tuturenderer_tpu.options import RenderOptions
 
     scene, cam = sphere_showcase(width=width, height=height)
-    opts = RenderOptions(spp=spp)
-    fracs = _probe_alive_fractions(scene, cam, opts)
+    fracs = _probe_alive_fractions(scene, cam, RenderOptions(spp=spp))
+    sched = tuple(float(min(1.0, max(1.5 * f, 0.01))) for f in fracs[:-1])
+    opts = RenderOptions(spp=spp, samples_per_launch=spp, compaction=sched)
     params = get_params(scene)
 
     @jax.jit

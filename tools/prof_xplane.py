@@ -124,13 +124,15 @@ def main():
         name = e.get("name", "")
         if name.startswith("jit_"):
             continue
-        d_ = indiv.setdefault(name, [0.0, 0])
+        src = e.get("args", {}).get("source", "")
+        d_ = indiv.setdefault(name, [0.0, 0, src])
         d_[0] += e.get("dur", 0) / 1e3
         d_[1] += 1
     print("\n# top individual ops")
-    for name, (ms, cnt) in sorted(indiv.items(),
-                                  key=lambda kv: -kv[1][0])[:25]:
-        print(f"{ms:9.1f} ms  x{cnt:<4d} {name}")
+    for name, (ms, cnt, src) in sorted(indiv.items(),
+                                       key=lambda kv: -kv[1][0])[:25]:
+        src = src.replace("/root/repo/", "")
+        print(f"{ms:9.1f} ms  x{cnt:<4d} {name}  {src}")
 
 
 if __name__ == "__main__":

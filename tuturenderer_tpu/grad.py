@@ -54,31 +54,52 @@ def render_diff(params: MaterialParams, scene: SceneData, cam: Camera,
                 opts: RenderOptions, seed=0):
     """Differentiable full-frame render -> [H, W, 3].
 
-    Uses lax.scan over samples with rematerialization so the backward pass
-    replays each sample's path instead of storing it (the path-replay
-    backward pass: memory O(1) in spp).
-    """
+    Uses lax.scan over sample batches with rematerialization so the
+    backward pass replays each batch's paths instead of storing them (the
+    path-replay backward pass: memory O(1) in spp).
+
+    Honors ``opts.samples_per_launch`` and emits lanes in the same 32x32
+    screen-block order as the forward renderer: the cluster intersector's
+    beam culling feeds on wide coherent wavefronts, and at small frames a
+    one-sample launch leaves the kernels dispatch-bound (the round-4
+    sphere fwd+bwd bench ran 65k-lane launches — most of its 5.6x
+    fwd->fwd+bwd drop was launch shape, not backward cost). The RNG
+    stream is keyed by (pixel, sample), so the result is identical to
+    the one-sample-at-a-time schedule."""
+    import numpy as _np
+
+    from .integrators.path import _block_order
+
     opts = dataclasses.replace(opts, differentiable=True)
     scene = put_params(scene, params)
     p = cam.n_pixels
-    lane = jnp.arange(p, dtype=jnp.int32)
-    px = lane % cam.width
-    py = lane // cam.width
+    order_np = _block_order(cam.width, cam.height)
+    inv_order = jnp.asarray(_np.argsort(order_np).astype(_np.int32))
+    sb = max(1, min(opts.samples_per_launch or 1, opts.spp))
+    while opts.spp % sb:
+        sb -= 1
+    pix = jnp.tile(jnp.asarray(order_np), sb)
+    px = pix % cam.width
+    py = pix // cam.width
+    soff = jnp.repeat(jnp.arange(sb, dtype=jnp.int32), p)
 
     @jax.checkpoint
-    def one_sample(s):
-        return render_sample(scene, cam, px, py, lane, s, seed, opts)
+    def one_batch(s):
+        L = render_sample(scene, cam, px, py, pix, s * sb + soff, seed,
+                          opts)
+        return (L.x.reshape(sb, p).sum(0), L.y.reshape(sb, p).sum(0),
+                L.z.reshape(sb, p).sum(0))
 
     def body(acc, s):
-        L = one_sample(s)
-        return (acc[0] + L.x, acc[1] + L.y, acc[2] + L.z), None
+        L = one_batch(s)
+        return (acc[0] + L[0], acc[1] + L[1], acc[2] + L[2]), None
 
     zeros = jnp.zeros((p,), jnp.float32)
     acc, _ = jax.lax.scan(body, (zeros, zeros, zeros),
-                          jnp.arange(opts.spp, dtype=jnp.int32))
+                          jnp.arange(opts.spp // sb, dtype=jnp.int32))
     inv = 1.0 / opts.spp
     img = jnp.stack([acc[0] * inv, acc[1] * inv, acc[2] * inv], axis=-1)
-    return img.reshape(cam.height, cam.width, 3)
+    return img[inv_order].reshape(cam.height, cam.width, 3)
 
 
 @partial(jax.jit, static_argnames=("opts",))

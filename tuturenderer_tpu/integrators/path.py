@@ -67,24 +67,39 @@ def _permute_state(state, order):
     tools/prof_gather.py); a 30-column state at multi-M lanes then costs
     ~1s per reorder. Packing all f32 columns into one [N, Kf] matrix and
     all int/bool columns into one [N, Ki] i32 matrix makes the whole
-    permutation two row gathers (~20ns/row) — a ~10x win. Float and
-    integer planes ride separate gathers because TPU float data movement
-    flushes denormals (small int32 ids bitcast through f32 would be
-    zeroed), and the f32 plane must stay differentiable (gather of
-    genuine f32 values has a clean scatter-add transpose)."""
+    permutation two row gathers — a ~10x win. The row cost scales with
+    row BYTES (~0.4 ns/B measured round 5), so bool columns are further
+    bit-packed into a single i32 word (4 bools -> 1 column) before the
+    gather. Float and integer planes ride separate gathers because TPU
+    float data movement flushes denormals (small int32 ids bitcast
+    through f32 would be zeroed), and the f32 plane must stay
+    differentiable (gather of genuine f32 values has a clean
+    scatter-add transpose)."""
     leaves, treedef = jax.tree.flatten(state)
     out = list(leaves)
     f32 = [i for i, l in enumerate(leaves) if l.dtype == jnp.float32]
-    ints = [i for i, l in enumerate(leaves) if l.dtype != jnp.float32]
+    bools = [i for i, l in enumerate(leaves) if l.dtype == jnp.bool_]
+    ints = [i for i, l in enumerate(leaves)
+            if l.dtype not in (jnp.float32, jnp.bool_)]
+    assert len(bools) <= 32
     if f32:
         packed = jnp.stack([leaves[i] for i in f32], axis=1)[order]
         for j, i in enumerate(f32):
             out[i] = packed[:, j]
-    if ints:
-        packed = jnp.stack([leaves[i].astype(jnp.int32) for i in ints],
-                           axis=1)[order]
+    int_cols = [leaves[i].astype(jnp.int32) for i in ints]
+    if bools:
+        word = leaves[bools[0]].astype(jnp.int32)
+        for j, i in enumerate(bools[1:], start=1):
+            word = word | (leaves[i].astype(jnp.int32) << j)
+        int_cols.append(word)
+    if int_cols:
+        packed = jnp.stack(int_cols, axis=1)[order]
         for j, i in enumerate(ints):
             out[i] = packed[:, j].astype(leaves[i].dtype)
+        if bools:
+            word = packed[:, len(ints)]
+            for j, i in enumerate(bools):
+                out[i] = ((word >> j) & 1).astype(jnp.bool_)
     return jax.tree.unflatten(treedef, out)
 
 
@@ -210,7 +225,10 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         prev_pdf=jnp.zeros((n,)),          # BSDF pdf at previous vertex
         prev_mirror1=jnp.zeros((n,), bool),  # PERFECT_REFLECTIVE pdf==1 case
         w_em=_zeros3(n),                    # weight if next hit is emissive
-        w_cont=_zeros3(n),                  # weight if path continues
+        rr_inv=jnp.zeros((n,)),             # 1/rr_prob; continuation
+                                            # weight = w_em * rr_inv (3
+                                            # fewer sorted f32 columns
+                                            # than carrying it directly)
         cont_ok=jnp.zeros((n,), bool),      # RR survived + divisor gates
         em_ok=jnp.zeros((n,), bool),
         lane=lane,                          # original lane id (RNG key)
@@ -276,15 +294,16 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         L = L + vwhere(unlit & (from_kind != FROM_BSDF), w * params.diffuse,
                        z3)
         # a BSDF-sampled UNLIT hit falls into the indirect branch; its
-        # continuation returns diffuse next round, carried through w_cont
+        # continuation returns diffuse next round, carried as w_em*rr_inv
+        w_cont_prev = state['w_em'] * state['rr_inv']
         L = L + vwhere(unlit & (from_kind == FROM_BSDF) & state['cont_ok'],
-                       state['w_cont'] * params.diffuse, z3)
+                       w_cont_prev * params.diffuse, z3)
         alive = alive & ~unlit & within_depth
 
         # ---------- indirect continuation bookkeeping for FROM_BSDF lanes
         # (reference: RR + MIN_DIVISOR gates were evaluated at the previous
         #  vertex; apply them now that we know the hit is non-emissive)
-        w = vwhere(alive & (from_kind == FROM_BSDF), state['w_cont'], w)
+        w = vwhere(alive & (from_kind == FROM_BSDF), w_cont_prev, w)
         alive = alive & jnp.where(from_kind == FROM_BSDF, state['cont_ok'], True)
 
         refr = params.is_refractive_kind
@@ -388,15 +407,15 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         base = f_r * (cos_n * inv_pdf)
         em_ok = mat_pdf >= MIN_DIVISOR
         cont_ok = rr_survive & (mat_pdf * rr_prob >= MIN_DIVISOR)
-        coe = base * jnp.where(rr_prob > 0.0,
-                               1.0 / jnp.maximum(rr_prob, 1e-20), 0.0)
+        rr_inv = jnp.where(rr_prob > 0.0,
+                           1.0 / jnp.maximum(rr_prob, 1e-20), 0.0)
+        coe = base * rr_inv
 
         #   refractive lanes: no NEE/RR; gate pdf >= MIN_DIVISOR, reset tp
         refr_ok = mat_pdf >= MIN_DIVISOR
 
         new_from = jnp.where(refr, FROM_REFRACT, FROM_BSDF)
         w_em = w * base
-        w_cont = w * coe
         w_next = vwhere(refr, w * base, w)
         tp_next = vwhere(refr, Vec3(one, one,
                                     one), tp_eff * coe)
@@ -415,7 +434,7 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
             from_kind=new_from,
             prev_pdf=mat_pdf,
             prev_mirror1=(params.mtype == PERFECT_REFLECTIVE) & (mat_pdf == 1.0),
-            w_em=w_em, w_cont=w_cont,
+            w_em=w_em, rr_inv=rr_inv,
             cont_ok=cont_ok & alive, em_ok=em_ok & alive,
             lane=state['lane'], smp=state['smp'], fkey=state['fkey'],
         )
@@ -774,7 +793,9 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
                     "lower variance", d=depth, c=cnt, k=k),
                 lambda: None)
         factor = jnp.where(over, cnt.astype(jnp.float32) / k, 1.0)
-        for f in ('w', 'w_em', 'w_cont'):
+        # scaling w and w_em also scales the continuation weight
+        # (w_em * rr_inv), so the roulette upweight covers every payout
+        for f in ('w', 'w_em'):
             if f in new:
                 new[f] = new[f] * factor
         return new, film, jnp.maximum(cnt - k, 0)
@@ -791,18 +812,86 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         else:
             segments.append((frac, [depth]))
 
+    def sort_compact(state, film, k, depth):
+        """Fused bounce-end reorder + shrink-to-k (presorted pipelines,
+        single-bounce segments): ONE argsort drives both, and the state
+        row-gather touches only the k SURVIVING rows (the dropped tail —
+        all dead when the schedule holds — flushes just its 4 L/fkey
+        columns). The unfused form gathered the full width at ~22
+        columns and then sliced: at the 3.8M->1.3M boundary that is
+        ~2.5M needlessly-moved 80-byte rows (~0.4 ns/B measured,
+        tools/prof_shadegather.py). Overflow falls back to the same
+        unbiased roulette as compact()."""
+        from ..ops.pallas.cluster import ray_sort_keys
+        keys = ray_sort_keys(scene.clusters, state['o'], state['d'])
+        keys = jnp.where(state['alive'], keys, _DEAD_KEY)
+        order = jnp.argsort(keys)
+        cnt = jnp.sum(state['alive'].astype(jnp.int32))
+        over = cnt > k
+
+        def truncate(arg):
+            st, fl = arg
+            tail = order[k:]
+            if n < (1 << 24):
+                # fkey rides the f32 plane losslessly (ids < 2^24 are
+                # exactly representable), making the tail flush ONE gather
+                packed = jnp.stack([st['L'].x, st['L'].y, st['L'].z,
+                                    st['fkey'].astype(jnp.float32)],
+                                   axis=1)[tail]
+                ids = packed[:, 3].astype(jnp.int32)
+            else:
+                packed = jnp.stack([st['L'].x, st['L'].y, st['L'].z],
+                                   axis=1)[tail]
+                ids = st['fkey'][tail]
+            fl = (fl[0].at[ids].add(packed[:, 0], mode='drop'),
+                  fl[1].at[ids].add(packed[:, 1], mode='drop'),
+                  fl[2].at[ids].add(packed[:, 2], mode='drop'))
+            return _permute_state(st, order[:k]), fl
+
+        def roulette(arg):
+            st, fl = arg
+            fl = flush(fl, st)
+            pri = rng.uniform(seed, st['lane'], st['smp'], depth,
+                              rng.COMPACT)
+            key = jnp.where(st['alive'], pri, 2.0)
+            rorder = jnp.argsort(key)
+            new = _permute_state(st, rorder[:k])
+            new['L'] = _zeros3(k)
+            return new, fl
+
+        new, film = jax.lax.cond(over, roulette, truncate, (state, film))
+        new['alive'] = new['alive'] & (jnp.arange(k) < cnt)
+        factor = jnp.where(over, cnt.astype(jnp.float32) / k, 1.0)
+        for f in ('w', 'w_em'):
+            if f in new:
+                new[f] = new[f] * factor
+        return new, film, jnp.maximum(cnt - k, 0)
+
+    def seg_width(frac):
+        return min(int(-(-int(n * frac) // 1024) * 1024), n)
+
     cur = state
     over_total = jnp.zeros((), jnp.int32)
-    for frac, depths in segments:
-        k = min(int(-(-int(n * frac) // 1024) * 1024), n)
-        if k < cur['o'].x.shape[0]:
+    compact_done = False
+    for i, (frac, depths) in enumerate(segments):
+        k = seg_width(frac)
+        if not compact_done and k < cur['o'].x.shape[0]:
             cur, film, over = compact(cur, film, k, depths[0])
             over_total = over_total + over
+        compact_done = False
         if len(depths) == 1:
             # single-bounce segment, unrolled (no scan wrapper)
             cur, _ = bounce_core(cur, jnp.int32(depths[0]))
             if presorted:
-                cur = _sort_wavefront(scene, cur)
+                k_next = seg_width(segments[i + 1][0]) \
+                    if i + 1 < len(segments) else None
+                if k_next is not None and k_next < cur['o'].x.shape[0]:
+                    cur, film, over = sort_compact(
+                        cur, film, k_next, segments[i + 1][1][0])
+                    over_total = over_total + over
+                    compact_done = True
+                else:
+                    cur = _sort_wavefront(scene, cur)
         else:
             cur, _ = jax.lax.scan(bounce_body, cur,
                                   jnp.asarray(depths, dtype=jnp.int32))
