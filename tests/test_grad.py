@@ -231,3 +231,77 @@ def test_red_wall_gradient_localized(setup):
     for leaf in flat_grad:
         assert np.isfinite(np.asarray(leaf)).all()
     assert float(flat_grad[0][1]) != 0.0  # red material diffuse.x
+
+
+# ---- splat integrators (VERDICT r4 ask #6): light tracing + BDPT ---------
+#
+# Both integrators write through scatter-add films (and LT's direct
+# component through a scatter-max); detached-sampling gradients flow
+# through emission, BSDF values and the We/Geo chains. FD and AD share
+# the counter-based RNG stream, so central differences are deterministic.
+
+
+def test_light_tracing_gradients_match_fd():
+    from tuturenderer_tpu.grad import render_light_diff
+
+    scene, cam = diffuse_box()
+    params = get_params(scene)
+    opts = RenderOptions(spp=8, lt_max_depth=3)
+
+    def loss(p):
+        return jnp.mean(render_light_diff(p, scene, cam, opts, seed=5))
+
+    grad = jax.grad(loss)(params)
+    flat_grad, tree = jax.tree.flatten(grad)
+    flat, _ = jax.tree.flatten(params)
+
+    def fd(leaf, idx, eps):
+        def pert(sign):
+            fl = list(flat)
+            fl[leaf] = fl[leaf].at[idx].add(sign * eps)
+            return jax.tree.unflatten(tree, fl)
+        return float((loss(pert(+1.0)) - loss(pert(-1.0))) / (2 * eps))
+
+    # emission.x of the light (linear in the estimator: direct splat +
+    # every connection contribution)
+    g_em = float(flat_grad[3][2])
+    assert g_em != 0.0
+    np.testing.assert_allclose(g_em, fd(3, 2, 1e-1), rtol=2e-2)
+    # diffuse.x of the white walls (enters through the adjoint BSDF at
+    # connection vertices and the walk throughput)
+    g_df = float(flat_grad[0][0])
+    assert g_df != 0.0
+    np.testing.assert_allclose(g_df, fd(0, 0, 1e-2), rtol=5e-2)
+
+
+def test_bdpt_gradients_match_fd():
+    from tuturenderer_tpu.grad import render_bdpt_diff
+
+    scene, cam = diffuse_box()
+    params = get_params(scene)
+    opts = RenderOptions(spp=4, bdpt_max_path_length=4)
+
+    def loss(p):
+        return jnp.mean(render_bdpt_diff(p, scene, cam, opts, seed=9))
+
+    grad = jax.grad(loss)(params)
+    flat_grad, tree = jax.tree.flatten(grad)
+    flat, _ = jax.tree.flatten(params)
+
+    def fd(leaf, idx, eps):
+        def pert(sign):
+            fl = list(flat)
+            fl[leaf] = fl[leaf].at[idx].add(sign * eps)
+            return jax.tree.unflatten(tree, fl)
+        return float((loss(pert(+1.0)) - loss(pert(-1.0))) / (2 * eps))
+
+    for leaf in flat_grad:
+        assert np.isfinite(np.asarray(leaf)).all()
+    # emission.x of the light: linear; every strategy family contributes
+    g_em = float(flat_grad[3][2])
+    assert g_em != 0.0
+    np.testing.assert_allclose(g_em, fd(3, 2, 1e-1), rtol=2e-2)
+    # diffuse.x of the white walls: enters through both subpaths' BSDFs
+    g_df = float(flat_grad[0][0])
+    assert g_df != 0.0
+    np.testing.assert_allclose(g_df, fd(0, 0, 1e-2), rtol=5e-2)

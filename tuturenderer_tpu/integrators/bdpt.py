@@ -100,6 +100,9 @@ def _walk(scene, cam, o, d, tp0: Vec3, lane, sample_idx, seed, opts,
     n = lane.shape[0]
     eta_scene = scene.eta
     u0t, u1t, lott = u_tags
+    # detached-sampling autodiff: sampled directions and pdfs are
+    # piecewise-constant in the material table (see path.py / grad.py)
+    sg = jax.lax.stop_gradient if opts.differentiable else (lambda x: x)
 
     verts: List[Dict] = []
     walking = jnp.ones((n,), bool)
@@ -124,8 +127,9 @@ def _walk(scene, cam, o, d, tp0: Vec3, lane, sample_idx, seed, opts,
         samp = bxdf_sample(params, wo, hit.ns, u(u0t), u(u1t), u(lott),
                            eta_scene, opts.ggx_sample_bug,
                            types=scene.mtype_set)
-        wi = samp.wi
-        dir_pdf = bxdf_pdf(params, wi, wo, hit.ns, eta_scene, params.eta, types=scene.mtype_set)
+        wi = sg(samp.wi)
+        dir_pdf = sg(bxdf_pdf(params, wi, wo, hit.ns, eta_scene, params.eta,
+                              types=scene.mtype_set))
         tir = samp.tir
         wi = vwhere(tir, reflect(wo, hit.ns).normalized(1e-20), wi)
         dir_pdf = jnp.where(tir, 1.0, dir_pdf)
@@ -202,11 +206,15 @@ def build_light_path(scene, cam: Camera, lane, sample_idx, seed,
     """Light vertex + adjoint walk (buildLightPath BDPT.hpp:296-390)."""
     n = lane.shape[0]
     eta_scene = scene.eta
+    sg = jax.lax.stop_gradient if opts.differentiable else (lambda x: x)
     u = lambda p: rng.uniform(seed, lane, sample_idx, 0, p)
     ls = sample_light(scene, u(rng.LIGHT_PICK), u(rng.LIGHT_U), u(rng.LIGHT_V),
                       opts.tutu_light_pick, opts.tutu_tri_sample)
+    ls = ls._replace(pos=sg(ls.pos), ng=sg(ls.ng), pdf_area=sg(ls.pdf_area))
     wi, dir_pdf, dir_ok = sample_cosine_dir(ls.ng, u(rng.LIGHT_DIR_U0),
                                             u(rng.LIGHT_DIR_U1))
+    wi = sg(wi)
+    dir_pdf = sg(dir_pdf)
     valid0 = ls.valid & dir_ok
     cos0 = jnp.abs(wi.dot(ls.ng))
     inv_pick = 1.0 / jnp.maximum(ls.pdf_area, 1e-20)
@@ -414,6 +422,9 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
     pixel, splats scatter anywhere."""
     n = lane.shape[0]
     eta_scene = scene.eta
+    # detached-sampling autodiff: MIS weights are pdf ratios, treated as
+    # piecewise-constant like every other sampling decision
+    sg = jax.lax.stop_gradient if opts.differentiable else (lambda x: x)
     ep, pixel_pos = build_eye_path(scene, cam, px, py, lane, sample_idx,
                                    seed, opts)
     lp = build_light_path(scene, cam, lane, sample_idx, seed, opts)
@@ -500,8 +511,9 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
                 ev['light_pick_pdf'] = light_pdf_of_hit_params(scene, ev)
                 ep_mod = list(ep)
                 ep_mod[t - 1] = ev
-                w = strategy_weight(mis_weight(scene, cam, ep_mod, lp, s, t, eta_scene,
-                                               opts.tutu_bdpt_weight_kill))
+                w = strategy_weight(sg(mis_weight(
+                    scene, cam, ep_mod, lp, s, t, eta_scene,
+                    opts.tutu_bdpt_weight_kill)))
                 estimate = estimate + vwhere(ok, contrib * w, _zeros3(n))
                 continue
 
@@ -614,27 +626,28 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
         s, t = rec['s'], rec['t']
         n_req = 2 if (t == 1 or s == 1) else 4
         end = rec['fin'](proj_pdfs[rec['pdf_i0']:rec['pdf_i0'] + n_req])
-        w = strategy_weight(mis_weight(scene, cam, ep, lp, s, t, eta_scene,
-                                       opts.tutu_bdpt_weight_kill,
-                                       end_pdfs=end))
+        w = strategy_weight(sg(mis_weight(scene, cam, ep, lp, s, t, eta_scene,
+                                          opts.tutu_bdpt_weight_kill,
+                                          end_pdfs=end)))
+        # cull on the FULL weighted contribution: a strategy whose MIS
+        # weight was zeroed (reference weight-kill, BDPT.hpp:218-219) or
+        # whose BSDF/prefactor vanished needs no visibility test — the
+        # occlusion mask shrinks, the estimate is unchanged
         if rec['kind'] == 'splat':
-            contrib = rec['prefac'] * aevals[rec['bsdf_q']]
-            ok = rec['ok'] & ~((contrib.x == 0) & (contrib.y == 0) &
-                               (contrib.z == 0))
+            rgb = rec['prefac'] * aevals[rec['bsdf_q']] * w
+            ok = rec['ok'] & ~((rgb.x == 0) & (rgb.y == 0) & (rgb.z == 0))
             rec['ok'] = ok
             occl_mask[rec['q']] = ok
             pending.append(dict(kind='splat', ok=ok, q=rec['q'],
-                                idx=rec['idx'], rgb=contrib * w))
+                                idx=rec['idx'], rgb=rgb))
         else:
             lv_bsdf = _ones3(n) if rec['lv_q'] is None else aevals[rec['lv_q']]
             if rec['facing'] is not None:
                 lv_bsdf = vwhere(rec['facing'], lv_bsdf, _zeros3(n))
-            contrib = rec['prefac'] * evals[rec['ev_q']] * lv_bsdf
-            ok = rec['ok'] & ~((contrib.x == 0) & (contrib.y == 0) &
-                               (contrib.z == 0))
+            rgb = rec['prefac'] * evals[rec['ev_q']] * lv_bsdf * w
+            ok = rec['ok'] & ~((rgb.x == 0) & (rgb.y == 0) & (rgb.z == 0))
             occl_mask[rec['q']] = ok
-            pending.append(dict(kind='est', ok=ok, q=rec['q'],
-                                rgb=contrib * w))
+            pending.append(dict(kind='est', ok=ok, q=rec['q'], rgb=rgb))
 
     # ---- batched any-hit pass over every queued connection shadow ray
     if occl_o:

@@ -56,13 +56,21 @@ def trace_sample(scene, cam: Camera, lane, sample_idx, seed,
     n = lane.shape[0]
     eta_scene = scene.eta
     u = lambda b, p: rng.uniform(seed, lane, sample_idx, b, p)
+    # detached-sampling autodiff (opts.differentiable): sampled light
+    # points, directions and pdfs are piecewise-constant in the material
+    # table; gradients flow through emission, adjoint BSDF values and the
+    # We/Geo throughput chain (same treatment as path.py)
+    sg = jax.lax.stop_gradient if opts.differentiable else (lambda x: x)
 
     ls = sample_light(scene, u(0, rng.LIGHT_PICK), u(0, rng.LIGHT_U),
                       u(0, rng.LIGHT_V), opts.tutu_light_pick,
                       opts.tutu_tri_sample)
+    ls = ls._replace(pos=sg(ls.pos), ng=sg(ls.ng), pdf_area=sg(ls.pdf_area))
     pick_pdf = ls.pdf_area
     wi, dir_pdf, dir_ok = sample_cosine_dir(
         ls.ng, u(0, rng.LIGHT_DIR_U0), u(0, rng.LIGHT_DIR_U1))
+    wi = sg(wi)
+    dir_pdf = sg(dir_pdf)
     alive = ls.valid & dir_ok
 
     # direct light -> eye splat (LightTracing.hpp:116-122)
@@ -119,8 +127,9 @@ def trace_sample(scene, cam: Camera, lane, sample_idx, seed,
                            u(s, rng.BSDF_U1), u(s, rng.BSDF_LOTTERY),
                            eta_scene, opts.ggx_sample_bug,
                            types=scene.mtype_set)
-        nwi = samp.wi
-        pdf = bxdf_pdf(params, nwi, wo, hit.ns, eta_scene, params.eta, types=scene.mtype_set)
+        nwi = sg(samp.wi)
+        pdf = sg(bxdf_pdf(params, nwi, wo, hit.ns, eta_scene, params.eta,
+                          types=scene.mtype_set))
         tir = samp.tir
         nwi = vwhere(tir, reflect(wo, hit.ns).normalized(1e-20), nwi)
         pdf = jnp.where(tir, 1.0, pdf)

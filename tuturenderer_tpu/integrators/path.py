@@ -814,57 +814,38 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
 
     def sort_compact(state, film, k, depth):
         """Fused bounce-end reorder + shrink-to-k (presorted pipelines,
-        single-bounce segments): ONE argsort drives both, and the state
-        row-gather touches only the k SURVIVING rows (the dropped tail —
-        all dead when the schedule holds — flushes just its 4 L/fkey
-        columns). The unfused form gathered the full width at ~22
-        columns and then sliced: at the 3.8M->1.3M boundary that is
-        ~2.5M needlessly-moved 80-byte rows (~0.4 ns/B measured,
-        tools/prof_shadegather.py). Overflow falls back to the same
-        unbiased roulette as compact()."""
+        single-bounce segments), branch-free:
+
+        - the sort key is selected PER RUN between the octant-Morton ray
+          key (normal case: live lanes to the front in tile order) and a
+          uniform random key (overflow: a uniformly random live k-subset
+          survives, upweighted by cnt/k — the same unbiased roulette as
+          compact(), without a lax.cond whose branch bodies and operand
+          copies cost more than the work itself, ~310 ms/render measured);
+        - L is flushed to the film at FULL width every boundary (a
+          ~37 ms scatter at 4.2M lanes) and excluded from the row gather,
+          so the gather moves only the k surviving rows of the slimmed
+          state — the unfused form gathered the full width at ~22
+          columns and then sliced."""
         from ..ops.pallas.cluster import ray_sort_keys
         keys = ray_sort_keys(scene.clusters, state['o'], state['d'])
-        keys = jnp.where(state['alive'], keys, _DEAD_KEY)
-        order = jnp.argsort(keys)
         cnt = jnp.sum(state['alive'].astype(jnp.int32))
         over = cnt > k
-
-        def truncate(arg):
-            st, fl = arg
-            tail = order[k:]
-            if n < (1 << 24):
-                # fkey rides the f32 plane losslessly (ids < 2^24 are
-                # exactly representable), making the tail flush ONE gather
-                packed = jnp.stack([st['L'].x, st['L'].y, st['L'].z,
-                                    st['fkey'].astype(jnp.float32)],
-                                   axis=1)[tail]
-                ids = packed[:, 3].astype(jnp.int32)
-            else:
-                packed = jnp.stack([st['L'].x, st['L'].y, st['L'].z],
-                                   axis=1)[tail]
-                ids = st['fkey'][tail]
-            fl = (fl[0].at[ids].add(packed[:, 0], mode='drop'),
-                  fl[1].at[ids].add(packed[:, 1], mode='drop'),
-                  fl[2].at[ids].add(packed[:, 2], mode='drop'))
-            return _permute_state(st, order[:k]), fl
-
-        def roulette(arg):
-            st, fl = arg
-            fl = flush(fl, st)
-            pri = rng.uniform(seed, st['lane'], st['smp'], depth,
-                              rng.COMPACT)
-            key = jnp.where(st['alive'], pri, 2.0)
-            rorder = jnp.argsort(key)
-            new = _permute_state(st, rorder[:k])
-            new['L'] = _zeros3(k)
-            return new, fl
-
-        new, film = jax.lax.cond(over, roulette, truncate, (state, film))
+        pri = rng.uniform(seed, state['lane'], state['smp'], depth,
+                          rng.COMPACT)
+        rkeys = (pri * jnp.float32(1e9)).astype(jnp.int32)
+        keys = jnp.where(state['alive'],
+                         jnp.where(over, rkeys, keys), _DEAD_KEY)
+        order = jnp.argsort(keys)
+        film = flush(film, state)
+        st = dict(state)
+        del st['L']
+        new = _permute_state(st, order[:k])
+        new['L'] = _zeros3(k)
         new['alive'] = new['alive'] & (jnp.arange(k) < cnt)
         factor = jnp.where(over, cnt.astype(jnp.float32) / k, 1.0)
         for f in ('w', 'w_em'):
-            if f in new:
-                new[f] = new[f] * factor
+            new[f] = new[f] * factor
         return new, film, jnp.maximum(cnt - k, 0)
 
     def seg_width(frac):
