@@ -264,9 +264,13 @@ def mis_end_requests(cam: Camera, ep, lp, s: int, t: int):
     (BDPT.hpp:82-142), expressed as deferred requests so every strategy's
     material dispatch compiles as ONE stacked bxdf_pdf call instead of
     ~4 per strategy (the round-2 unroll made Veach's XLA compile take >10
-    minutes). Returns (requests, finish) where ``requests`` is a list of
-    (params, wi, wo, ns, ng) tuples and ``finish(pdfs)`` consumes the
-    resolved projected pdfs (same order) and returns the end-pdf dict."""
+    minutes). Every end needs BOTH pdf(a,b) and pdf(b,a) at the same
+    vertex, so requests are PAIRS (params, a, b, ns, ng) — the stacked
+    operands are built once and evaluated in both directions, halving
+    the concat volume (the concats were a measurable slice of the Veach
+    wall). Returns (pair_requests, finish) where ``finish(pdfs)``
+    consumes the resolved projected pdfs as [fwd_0, rev_0, fwd_1,
+    rev_1, ...] and returns the end-pdf dict."""
     n = ep[0]['valid'].shape[0]
     if s + t == 2 or s == 0:
         return [], lambda pdfs: None
@@ -282,8 +286,7 @@ def mis_end_requests(cam: Camera, ep, lp, s: int, t: int):
                      jnp.maximum(camcos, 1e-20)) / jnp.maximum(camcos, 1e-20)
         pdf_t_rev = jnp.zeros((n,)) + cam.lens_area_inv
         s2prev = (lp[s - 2]['pos'] - s_end['pos']).normalized(1e-20)
-        reqs = [(s_end['params'], -cam2s, s2prev, s_end['ns'], s_end['ng']),
-                (s_end['params'], s2prev, -cam2s, s_end['ns'], s_end['ng'])]
+        reqs = [(s_end['params'], -cam2s, s2prev, s_end['ns'], s_end['ng'])]
 
         def finish(pdfs):
             return dict(pdf_s_fwd=pdfs[0], pdf_s_rev=pdfs[1],
@@ -295,8 +298,7 @@ def mis_end_requests(cam: Camera, ep, lp, s: int, t: int):
         pdf_s_fwd = jnp.full((n,), 1.0 / PI)
         pdf_s_rev = s_end['rev']     # pickpdf stash
         t2prev = (ep[t - 2]['pos'] - t_end['pos']).normalized(1e-20)
-        reqs = [(t_end['params'], -l2t, t2prev, t_end['ns'], t_end['ng']),
-                (t_end['params'], t2prev, -l2t, t_end['ns'], t_end['ng'])]
+        reqs = [(t_end['params'], -l2t, t2prev, t_end['ns'], t_end['ng'])]
 
         def finish(pdfs):
             return dict(pdf_s_fwd=pdf_s_fwd, pdf_s_rev=pdf_s_rev,
@@ -307,9 +309,7 @@ def mis_end_requests(cam: Camera, ep, lp, s: int, t: int):
     s2prev = (lp[s - 2]['pos'] - s_end['pos']).normalized(1e-20)
     t2prev = (ep[t - 2]['pos'] - t_end['pos']).normalized(1e-20)
     reqs = [(s_end['params'], s2t, s2prev, s_end['ns'], s_end['ng']),
-            (s_end['params'], s2prev, s2t, s_end['ns'], s_end['ng']),
-            (t_end['params'], -s2t, t2prev, t_end['ns'], t_end['ng']),
-            (t_end['params'], t2prev, -s2t, t_end['ns'], t_end['ng'])]
+            (t_end['params'], -s2t, t2prev, t_end['ns'], t_end['ng'])]
 
     def finish(pdfs):
         return dict(pdf_s_fwd=pdfs[0], pdf_s_rev=pdfs[1],
@@ -343,11 +343,16 @@ def mis_weight(scene, cam: Camera, ep, lp, s: int, t: int, eta_scene,
     else:
         if end_pdfs is None:
             # standalone call (tests / debug harness): resolve the end
-            # pdf requests inline instead of through the batched phase
+            # pdf pair-requests inline instead of through the batched
+            # phase (each pair yields fwd = pdf(a,b) and rev = pdf(b,a))
             reqs, fin = mis_end_requests(cam, ep, lp, s, t)
-            end_pdfs = fin([_proj_pdf(p, wi, wo, ns, ng, eta_scene,
-                                      types=scene.mtype_set)
-                            for (p, wi, wo, ns, ng) in reqs])
+            flat = []
+            for (p, a, b, ns, ng) in reqs:
+                flat.append(_proj_pdf(p, a, b, ns, ng, eta_scene,
+                                      types=scene.mtype_set))
+                flat.append(_proj_pdf(p, b, a, ns, ng, eta_scene,
+                                      types=scene.mtype_set))
+            end_pdfs = fin(flat)
         pdf_s_fwd = end_pdfs['pdf_s_fwd']
         pdf_s_rev = end_pdfs['pdf_s_rev']
         pdf_t_fwd = end_pdfs['pdf_t_fwd']
@@ -601,13 +606,20 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
             jnp.concatenate([r[j].z for r in tuples]))
         return params, vec(1), vec(2), vec(3), vec(4)
 
-    proj_pdfs: List = []
+    # pdf_reqs holds PAIRS: each stacked row is evaluated in BOTH
+    # directions (fwd = pdf(a,b), rev = pdf(b,a)) from one operand set
+    proj_fwd: List = []
+    proj_rev: List = []
     if pdf_reqs:
-        params_b, wi_b, wo_b, ns_b, ng_b = _stack(pdf_reqs)
-        p_all = bxdf_pdf(params_b, wi_b, wo_b, ns_b, eta_scene,
+        params_b, a_b, b_b, ns_b, ng_b = _stack(pdf_reqs)
+        p_fwd = bxdf_pdf(params_b, a_b, b_b, ns_b, eta_scene,
                          params_b.eta, types=scene.mtype_set)
-        p_all = p_all / jnp.maximum(jnp.abs(wi_b.dot(ng_b)), 1e-20)
-        proj_pdfs = [p_all[i * n:(i + 1) * n] for i in range(len(pdf_reqs))]
+        p_fwd = p_fwd / jnp.maximum(jnp.abs(a_b.dot(ng_b)), 1e-20)
+        p_rev = bxdf_pdf(params_b, b_b, a_b, ns_b, eta_scene,
+                         params_b.eta, types=scene.mtype_set)
+        p_rev = p_rev / jnp.maximum(jnp.abs(b_b.dot(ng_b)), 1e-20)
+        proj_fwd = [p_fwd[i * n:(i + 1) * n] for i in range(len(pdf_reqs))]
+        proj_rev = [p_rev[i * n:(i + 1) * n] for i in range(len(pdf_reqs))]
 
     def _resolve_evals(reqs, adjoint):
         if not reqs:
@@ -624,8 +636,12 @@ def render_sample_bdpt(scene, cam: Camera, px, py, lane, sample_idx, seed,
     # ---- phase C: finish each strategy with its resolved values
     for rec in records:
         s, t = rec['s'], rec['t']
-        n_req = 2 if (t == 1 or s == 1) else 4
-        end = rec['fin'](proj_pdfs[rec['pdf_i0']:rec['pdf_i0'] + n_req])
+        n_pairs = 1 if (t == 1 or s == 1) else 2
+        flat = []
+        for i in range(rec['pdf_i0'], rec['pdf_i0'] + n_pairs):
+            flat.append(proj_fwd[i])
+            flat.append(proj_rev[i])
+        end = rec['fin'](flat)
         w = strategy_weight(sg(mis_weight(scene, cam, ep, lp, s, t, eta_scene,
                                           opts.tutu_bdpt_weight_kill,
                                           end_pdfs=end)))
