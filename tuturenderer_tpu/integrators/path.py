@@ -77,29 +77,47 @@ def _permute_state(state, order):
     scatter-add transpose)."""
     leaves, treedef = jax.tree.flatten(state)
     out = list(leaves)
+    n_rows = leaves[0].shape[0]
     f32 = [i for i, l in enumerate(leaves) if l.dtype == jnp.float32]
     bools = [i for i, l in enumerate(leaves) if l.dtype == jnp.bool_]
     ints = [i for i, l in enumerate(leaves)
             if l.dtype not in (jnp.float32, jnp.bool_)]
     assert len(bools) <= 32
-    if f32:
-        packed = jnp.stack([leaves[i] for i in f32], axis=1)[order]
-        for j, i in enumerate(f32):
-            out[i] = packed[:, j]
     int_cols = [leaves[i].astype(jnp.int32) for i in ints]
     if bools:
         word = leaves[bools[0]].astype(jnp.int32)
         for j, i in enumerate(bools[1:], start=1):
             word = word | (leaves[i].astype(jnp.int32) << j)
         int_cols.append(word)
-    if int_cols:
-        packed = jnp.stack(int_cols, axis=1)[order]
-        for j, i in enumerate(ints):
-            out[i] = packed[:, j].astype(leaves[i].dtype)
-        if bools:
-            word = packed[:, len(ints)]
-            for j, i in enumerate(bools):
-                out[i] = ((word >> j) & 1).astype(jnp.bool_)
+    # one WIDE gather beats two narrower ones: an HBM-table row gather
+    # pays a per-row latency floor, so when every int value is exactly
+    # representable in f32 (ids < 2^24 — true whenever the wavefront is
+    # < 16.7M lanes, checked statically) the int columns ride the f32
+    # plane through an exact float round-trip
+    unified = n_rows < (1 << 24) and f32
+    if unified:
+        cols = [leaves[i] for i in f32] + \
+            [c.astype(jnp.float32) for c in int_cols]
+        packed = jnp.stack(cols, axis=1)[order]
+        for j, i in enumerate(f32):
+            out[i] = packed[:, j]
+        int_packed = [packed[:, len(f32) + j].astype(jnp.int32)
+                      for j in range(len(int_cols))]
+    else:
+        if f32:
+            packed = jnp.stack([leaves[i] for i in f32], axis=1)[order]
+            for j, i in enumerate(f32):
+                out[i] = packed[:, j]
+        int_packed = []
+        if int_cols:
+            packed = jnp.stack(int_cols, axis=1)[order]
+            int_packed = [packed[:, j] for j in range(len(int_cols))]
+    for j, i in enumerate(ints):
+        out[i] = int_packed[j].astype(leaves[i].dtype)
+    if bools:
+        word = int_packed[len(ints)]
+        for j, i in enumerate(bools):
+            out[i] = ((word >> j) & 1).astype(jnp.bool_)
     return jax.tree.unflatten(treedef, out)
 
 

@@ -102,9 +102,20 @@ def woop_rows(verts: np.ndarray):
 
 def pack_woop(rows: np.ndarray, c: np.ndarray, nlen: np.ndarray,
               alpha: np.ndarray):
-    """[T, WOOP_F] layout r1(3) c1 r2(3) c2 r3(3) c3 nlen alpha."""
+    """[T, WOOP_F] layout r1(3) c1 r2(3) c2 r3'(3) c3' nlen alpha.
+
+    The r3/c3 row is PRESCALED by |n| (r3' = r3*|n|, c3' = c3*|n|): the
+    scale cancels in t = -w_o'/w_d', and w_d' = d.r3' IS the reference's
+    parallel-test quantity d.n_hat — so the kernel's per-triangle test
+    reads 12 scalars instead of 13 and drops a multiply. Measured effect
+    on the sphere_100k wall: none (docs/PERF_R5.md — the walk is NOT
+    purely scalar-load-bound as round 4's cycle count suggested); kept
+    because it is strictly less work. The nlen slot stays in the layout
+    (unused by the test) so nothing else moves."""
     t = rows.shape[0]
-    p = np.concatenate([rows, c[:, :, None]], axis=2).reshape(t, 12)
+    p = np.concatenate([rows, c[:, :, None]], axis=2)        # [t, 3, 4]
+    p[:, 2, :] = p[:, 2, :] * nlen[:, None]
+    p = p.reshape(t, 12)
     return np.concatenate([p, nlen[:, None], alpha[:, None]],
                           axis=1).astype(np.float32)
 
@@ -250,14 +261,17 @@ def _visit_lists(aabb, ox, oy, oz, dx, dy, dz, live, dist, rows):
             entry_s.reshape(nt * (c // 128), 128))
 
 
-def _woop13(wread, slot, g, k):
+def _woop12(wread, slot, g, k):
     base = k * WOOP_F
-    return [wread(slot, g, base + j) for j in range(13)]
+    return [wread(slot, g, base + j) for j in range(12)]
 
 
 def _test(wread, slot, g, k, rox, roy, roz, rdx, rdy, rdz):
+    """12-scalar-load triangle test: the r3/c3 row arrives prescaled by
+    |n| (pack_woop), so w_d IS d.n_hat and no separate nlen load or
+    multiply is needed."""
     (r1x, r1y, r1z, c1, r2x, r2y, r2z, c2,
-     r3x, r3y, r3z, c3, nlen) = _woop13(wread, slot, g, k)
+     r3x, r3y, r3z, c3) = _woop12(wread, slot, g, k)
     w_o = rox * r3x + roy * r3y + roz * r3z - c3
     w_d = rdx * r3x + rdy * r3y + rdz * r3z
     inv = 1.0 / w_d
@@ -266,8 +280,7 @@ def _test(wread, slot, g, k, rox, roy, roz, rdx, rdy, rdz):
         t * (rdx * r1x + rdy * r1y + rdz * r1z)
     v = (rox * r2x + roy * r2y + roz * r2z - c2) + \
         t * (rdx * r2x + rdy * r2y + rdz * r2z)
-    dn = w_d * nlen
-    return t, u, v, dn
+    return t, u, v, w_d
 
 
 def _walk_kernel(mode, cluster_size, vlist, ventry, sb_ref, aabb_ref,
@@ -575,10 +588,17 @@ def _run_nearest(aabb, tri_idx, woop, ox, oy, oz, dx, dy, dz, live,
         c, rows, nt, interpret,
     )(vlist, ventry, sb, aabb_p, rs(ox), rs(oy), rs(oz), rs(dx), rs(dy),
       rs(dz), rs(live.astype(jnp.float32)), woop)
-    # virtual id (cluster * cluster_size + k) -> original triangle id
+    # virtual id (cluster * cluster_size + k) -> original triangle id.
+    # The natural 1-D gather lowers to a serial per-lane loop (7.3 ns/
+    # row measured at 4.2M lanes); a >=2-column 2-D row gather takes the
+    # vectorized path (2.7 ns/row), so the id rides a 2-col f32 table —
+    # exact, since ids are < 2^24 (the cluster tables hit their SMEM
+    # ceiling near 2M triangles, docs/PERF_R4.md).
     virt = virt.reshape(-1)
     flat = tri_idx.reshape(-1)
-    idx = jnp.where(virt >= 0, flat[jnp.maximum(virt, 0)], -1)
+    flat2 = jnp.stack([flat.astype(jnp.float32)] * 2, axis=1)
+    mapped = flat2[jnp.maximum(virt, 0), 0].astype(jnp.int32)
+    idx = jnp.where(virt >= 0, mapped, -1)
     return t.reshape(-1), idx, bu.reshape(-1), bv.reshape(-1)
 
 
