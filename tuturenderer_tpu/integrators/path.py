@@ -166,22 +166,14 @@ def apply_textures(scene: SceneData, hit, params: MatParams):
 
     # normal map: decoded texel (already in [-1,1]) through TBN
     texel = scene.normal_maps.sample(nm, hit.u, hit.v)
-    # triangle TBN from UV deltas (IIntegrator.hpp:45-56)
-    from ..ops.intersect import _gather_vec3
+    # triangle TBN from UV deltas (IIntegrator.hpp:45-56) — precomputed
+    # per triangle on host (scene.tri_tbn) so this is ONE packed row
+    # gather instead of ~17 per-column gathers of triangle constants
+    # (serial-loop lowered above 64 rows, docs/PERF_R5.md)
     ti = jnp.where(hit.kind == 0, jnp.maximum(hit.idx, 0), 0)
-    v0 = _gather_vec3(scene.tv0, ti)
-    v1 = _gather_vec3(scene.tv1, ti)
-    v2 = _gather_vec3(scene.tv2, ti)
-    e1 = v1 - v0
-    e2 = v2 - v0
-    du1 = scene.tuv1u[ti] - scene.tuv0u[ti]
-    dv1 = scene.tuv1v[ti] - scene.tuv0v[ti]
-    du2 = scene.tuv2u[ti] - scene.tuv0u[ti]
-    dv2 = scene.tuv2v[ti] - scene.tuv0v[ti]
-    det = -du1 * dv2 + dv1 * du2
-    coef = 1.0 / jnp.where(det == 0.0, 1.0, det)
-    t_tri = ((e1 * (-dv2) + e2 * dv1) * coef).normalized(1e-20)
-    b_tri = ((e1 * (-du2) + e2 * du1) * coef).normalized(1e-20)
+    tbn = scene.tri_tbn[ti]                      # [N, 6]
+    t_tri = Vec3(tbn[:, 0], tbn[:, 1], tbn[:, 2])
+    b_tri = Vec3(tbn[:, 3], tbn[:, 4], tbn[:, 5])
     # sphere analytic tangent (IIntegrator.hpp:67-81)
     ndir = hit.ng
     rxy = jnp.sqrt(jnp.maximum(ndir.x * ndir.x + ndir.y * ndir.y, 1e-20))

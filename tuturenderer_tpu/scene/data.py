@@ -108,6 +108,12 @@ class SceneData:
     # gathers to a per-index loop, so gather COUNT (not width) is what
     # costs; measured 25 x 3.7 ms -> 1 x 24 ms at 262k lanes / 100k tris
     tri_shade: jnp.ndarray
+    # packed per-triangle tangent frame [T, 6]: tangent(3) bitangent(3)
+    # from the reference's UV-delta TBN (IIntegrator.hpp:45-56),
+    # precomputed on host so normal mapping is ONE row gather instead of
+    # ~17 per-column gathers of triangle constants (the XLA gather cliff,
+    # docs/PERF_R5.md)
+    tri_tbn: jnp.ndarray
     # spheres [S]
     scenter: Vec3
     sradius: jnp.ndarray
@@ -302,6 +308,23 @@ class SceneBuilder:
             normals.reshape(-1, 9), tng.astype(np.float32),
             uvs.reshape(-1, 6), tmat[:, None].astype(np.float32),
             tarea[:, None].astype(np.float32)], axis=1).astype(np.float32)
+        # UV-delta tangent frame (changeNormalDir triangle branch,
+        # IIntegrator.hpp:45-56), f32 to match the former in-kernel math
+        e1f = e1.astype(np.float32)
+        e2f = e2.astype(np.float32)
+        du1 = (uvs[:, 1, 0] - uvs[:, 0, 0]).astype(np.float32)
+        dv1 = (uvs[:, 1, 1] - uvs[:, 0, 1]).astype(np.float32)
+        du2 = (uvs[:, 2, 0] - uvs[:, 0, 0]).astype(np.float32)
+        dv2 = (uvs[:, 2, 1] - uvs[:, 0, 1]).astype(np.float32)
+        det = -du1 * dv2 + dv1 * du2
+        coef = (1.0 / np.where(det == 0.0, 1.0, det)).astype(np.float32)
+        t_v = (e1f * (-dv2)[:, None] + e2f * dv1[:, None]) * coef[:, None]
+        b_v = (e1f * (-du2)[:, None] + e2f * du1[:, None]) * coef[:, None]
+        t_v = t_v / np.maximum(np.linalg.norm(t_v, axis=1, keepdims=True),
+                               1e-20)
+        b_v = b_v / np.maximum(np.linalg.norm(b_v, axis=1, keepdims=True),
+                               1e-20)
+        tri_tbn = np.concatenate([t_v, b_v], axis=1).astype(np.float32)
 
         if self._sph_center:
             sc = np.stack(self._sph_center, 0)
@@ -371,6 +394,7 @@ class SceneBuilder:
             tuv2u=jnp.asarray(uvs[:, 2, 0]), tuv2v=jnp.asarray(uvs[:, 2, 1]),
             tmat=jnp.asarray(tmat), tarea=jnp.asarray(tarea.astype(np.float32)),
             tri_shade=jnp.asarray(tri_shade),
+            tri_tbn=jnp.asarray(tri_tbn),
             scenter=v3(sc), sradius=jnp.asarray(sr), smat=jnp.asarray(smat),
             sarea=jnp.asarray(sarea.astype(np.float32)),
             materials=materials,
