@@ -94,7 +94,17 @@ def sample_light(scene: SceneData, r_pick, r0, r1,
     else:
         pos, ng = tpos, tng
 
-    emission = _gather_vec3(scene.light_emission, pick)
+    # the emission gather is the ONE light-table lookup that carries
+    # gradients (put_params refreshes light_emission from the material
+    # table): the default gather transpose is a scatter-add whose TPU
+    # lowering serializes per row (~11.5 ns/row — it cost the Cornell
+    # backward 3.6x, round 5), so it rides the same custom-VJP
+    # onehot-matmul gather as the material table
+    from ..materials import _mat_gather
+    ex, ey, ez = _mat_gather((scene.light_emission.x,
+                              scene.light_emission.y,
+                              scene.light_emission.z), pick)
+    emission = Vec3(ex, ey, ez)
     pdf = 1.0 / (n * area)
     return LightSample(pos=pos, ng=ng, emission=emission, pdf_area=pdf,
                        valid=jnp.ones(shape, bool))
