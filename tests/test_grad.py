@@ -305,3 +305,27 @@ def test_bdpt_gradients_match_fd():
     g_df = float(flat_grad[0][0])
     assert g_df != 0.0
     np.testing.assert_allclose(g_df, fd(0, 0, 1e-2), rtol=5e-2)
+
+
+def test_put_params_refreshes_light_emission():
+    """put_params must propagate emission edits into the DENORMALIZED
+    light-emission table (round-5 find: without this, NEE / light-subpath
+    lighting ignored emission updates — an inconsistent forward render
+    for inverse loops and a dropped share of the emission gradient)."""
+    from tuturenderer_tpu.grad import get_params, put_params
+
+    scene, cam = diffuse_box()
+    params = get_params(scene)
+    bumped = params._replace(emission=Vec3(
+        params.emission.x * 2.0, params.emission.y * 2.0,
+        params.emission.z * 2.0))
+    s2 = put_params(scene, bumped)
+    np.testing.assert_allclose(np.asarray(s2.light_emission.x),
+                               2.0 * np.asarray(scene.light_emission.x))
+    # and the full render actually brightens accordingly (NEE included):
+    # radiance is linear in emission, so the image must exactly double
+    opts = RenderOptions(spp=2, max_depth=2, differentiable=True)
+    from tuturenderer_tpu.grad import render_diff
+    base = np.asarray(render_diff(params, scene, cam, opts, seed=3))
+    bright = np.asarray(render_diff(bumped, scene, cam, opts, seed=3))
+    np.testing.assert_allclose(bright, 2.0 * base, rtol=1e-5, atol=1e-6)

@@ -26,6 +26,21 @@ def test_sharded_render_matches_single_device():
     np.testing.assert_allclose(img8, img1, rtol=2e-5, atol=2e-6)
 
 
+def test_sharded_render_cluster_scene_matches_single_device():
+    """Cluster-carrying SceneData through shard_map (VERDICT r4 ask #3b):
+    use_bvh=True forces the cluster + BVH tables onto the tiny scene; on
+    the fake-CPU mesh the kernels take the mt/bvh fallback, pinning the
+    sharded pipeline's replication/combiner handling of the large-scene
+    scene layout at 8 ways (the on-TPU Pallas composition is pinned by
+    the golden gate's sharded_cluster check)."""
+    scene, cam = simple_box(32, 32, use_bvh=True)
+    opts = RenderOptions(spp=4, max_depth=3)
+    mesh = make_mesh(8)
+    img1 = np.asarray(render(scene, cam, opts, seed=5))
+    img8 = np.asarray(render_sharded(scene, cam, opts, mesh, seed=5))
+    np.testing.assert_allclose(img8, img1, rtol=2e-5, atol=2e-6)
+
+
 def test_sharded_train_step():
     scene, cam = simple_box(16, 16)
     opts = RenderOptions(spp=2, max_depth=2)
