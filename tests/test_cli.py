@@ -187,3 +187,71 @@ sphere 1 0 0 0.5
     assert abs(rough[2] - 0.4) < 1e-6          # roughness persists too
     diff = np.asarray(scene.materials.diffuse.x)[np.asarray(scene.smat)]
     assert abs(diff[2] - 0.7) < 1e-6           # diffuse does update
+
+
+# inversion scene: the smoke-test CONFIG's light faces AWAY from its
+# geometry (zero diffuse transport -> zero diffuse gradient), so the
+# inversion test needs a properly lit one: a large wall facing the
+# camera under a downward-facing area light
+INVERT_CONFIG = """\
+imsize 16 16
+eye 0 0 3
+viewdir 0 0 -1
+hfov 60
+updir 0 1 0
+bkgcolor 0 0 0 1.0
+integrator path
+
+mtlcolor 0.8 0.2 0.2 1 1 1 1.0 1.0
+v -2 -2 -1
+v 2 -2 -1
+v 0 2 -1
+f 1 2 3
+
+emission 8 8 8
+v -0.5 0.9 0.5
+v 0 0.9 -0.5
+v 0.5 0.9 0.5
+f 4 5 6
+"""
+
+
+def test_cli_inverse_rendering_recovers_albedo(tmp_path, capsys):
+    """--invert: render a target with the true albedo, start the
+    optimizer from a WRONG albedo (different mtlcolor in the config),
+    and check SGD against the target drives the loss down and moves the
+    recovered diffuse toward the truth."""
+    from tuturenderer_tpu.cli import main
+
+    true_cfg = tmp_path / "true.txt"
+    true_cfg.write_text(INVERT_CONFIG)
+    wrong_cfg = tmp_path / "wrong.txt"
+    wrong_cfg.write_text(INVERT_CONFIG.replace("mtlcolor 0.8 0.2 0.2",
+                                               "mtlcolor 0.2 0.6 0.7"))
+
+    target = str(tmp_path / "target.ppm")
+    main([str(true_cfg), "--spp", "4", "--max-depth", "2",
+          "-o", target])
+    base = str(tmp_path / "base.ppm")
+    main([str(wrong_cfg), "--spp", "4", "--max-depth", "2", "-o", base])
+    capsys.readouterr()
+
+    out = str(tmp_path / "recovered.ppm")
+    main([str(wrong_cfg), "--spp", "4", "--max-depth", "2",
+          "--invert", target, "--invert-steps", "40",
+          "--invert-lr", "10.0", "-o", out])
+    text = capsys.readouterr().out
+    losses = [float(ln.split("loss")[1]) for ln in text.splitlines()
+              if ln.startswith("invert step")]
+    assert len(losses) >= 2
+    # the linear-space L2 objective must collapse (measured ~280x here);
+    # 20x is the robust bar
+    assert losses[-1] < 0.05 * losses[0], losses
+    # secondary, weaker check in saved-image space (clipped + gamma
+    # quantized, so big unclipped differences compress): the re-render
+    # with recovered materials still must beat the wrong-material render
+    lin = lambda p: _read_ppm(p) ** (1.0 / 0.78)
+    t = lin(target)
+    d_base = np.abs(lin(base) - t).mean()
+    d_rec = np.abs(lin(out) - t).mean()
+    assert d_rec < 0.8 * d_base, (d_rec, d_base, losses)

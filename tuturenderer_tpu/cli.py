@@ -59,6 +59,15 @@ def main(argv=None):
                          "resume from it after interruption")
     ap.add_argument("--chunk-spp", type=int, default=8,
                     help="spp per progressive chunk (with --checkpoint)")
+    ap.add_argument("--invert", default=None, metavar="TARGET",
+                    help="inverse rendering: recover the material table "
+                         "(albedo/emission/roughness/metallic) by gradient "
+                         "descent against TARGET (.ppm/.png, de-gammaed), "
+                         "then render with the recovered materials. The "
+                         "capability the reference's forward-only design "
+                         "cannot offer; uses grad.image_loss_and_grad")
+    ap.add_argument("--invert-steps", type=int, default=60)
+    ap.add_argument("--invert-lr", type=float, default=0.2)
     args = ap.parse_args(argv)
 
     import contextlib
@@ -80,6 +89,9 @@ def main(argv=None):
         scene = pc.builder.build()
         cam = pc.camera()
     integrator = args.integrator or pc.integrator
+
+    if args.invert:
+        scene = _invert_materials(scene, cam, opts, args)
 
     ctx = trace(args.trace_dir) if args.trace_dir else contextlib.nullcontext()
     with ctx, prof.phase("render"):
@@ -119,6 +131,52 @@ def main(argv=None):
     else:
         write_ppm(out, img, args.gamma)
     print(f"Generating image successfully: {out}")
+
+
+def _invert_materials(scene, cam, opts, args):
+    """Inverse-rendering loop: SGD on the material table against a target
+    image through the differentiable path tracer (grad.py). The target is
+    de-gammaed back to linear radiance (write_ppm/write_png store
+    clip(img)^gamma). Parameters are projected into their valid ranges
+    after each step. Prints the L2 loss every 10 steps and returns the
+    scene with the recovered materials installed."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .grad import get_params, image_loss_and_grad, put_params
+    from .io.ppm import read_png, read_ppm
+
+    reader = read_png if args.invert.endswith(".png") else read_ppm
+    target = np.asarray(reader(args.invert), np.float32)
+    if target.shape[:2] != (cam.height, cam.width):
+        raise SystemExit(
+            f"--invert target is {target.shape[1]}x{target.shape[0]}, "
+            f"config renders {cam.width}x{cam.height}")
+    target = jnp.asarray(target ** (1.0 / args.gamma))
+
+    def project(p):
+        return p._replace(
+            diffuse=jax.tree.map(lambda a: jnp.clip(a, 0.0, 1.0), p.diffuse),
+            emission=jax.tree.map(lambda a: jnp.maximum(a, 0.0), p.emission),
+            roughness=jnp.clip(p.roughness, 1e-3, 1.0),
+            metallic=jnp.clip(p.metallic, 0.0, 1.0))
+
+    params = get_params(scene)
+    for step in range(args.invert_steps):
+        loss, g = image_loss_and_grad(params, target, scene, cam, opts,
+                                      seed=args.seed + step)
+        params = project(jax.tree.map(
+            lambda w, gr: w - args.invert_lr * gr, params, g))
+        if step % 10 == 0 or step == args.invert_steps - 1:
+            print(f"invert step {step:4d}: loss {float(loss):.6f}",
+                  flush=True)
+    for i in range(np.asarray(params.diffuse.x).shape[0]):
+        d = [float(np.asarray(c)[i]) for c in
+             (params.diffuse.x, params.diffuse.y, params.diffuse.z)]
+        print(f"invert material[{i}] diffuse = "
+              f"{d[0]:.4f} {d[1]:.4f} {d[2]:.4f}", flush=True)
+    return put_params(scene, params)
 
 
 if __name__ == "__main__":

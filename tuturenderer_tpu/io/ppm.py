@@ -27,6 +27,13 @@ def read_ppm(path: str) -> np.ndarray:
     return (data / maxv).reshape(h, w, 3)
 
 
+def read_png(path: str) -> np.ndarray:
+    """-> float32 [H, W, 3] in [0, 1]."""
+    from PIL import Image
+    arr = np.asarray(Image.open(path).convert("RGB"), np.float32)
+    return arr / 255.0
+
+
 def quantize(img: np.ndarray, gamma: float = GAMMA_VAL) -> np.ndarray:
     """Linear [H,W,3] -> uint8 with the reference's clamp+gamma transform
     (PPMGenerator.hpp:825-842)."""
