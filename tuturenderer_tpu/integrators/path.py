@@ -832,11 +832,15 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
           survives, upweighted by cnt/k — the same unbiased roulette as
           compact(), without a lax.cond whose branch bodies and operand
           copies cost more than the work itself, ~310 ms/render measured);
-        - L is flushed to the film at FULL width every boundary (a
-          ~37 ms scatter at 4.2M lanes) and excluded from the row gather,
-          so the gather moves only the k surviving rows of the slimmed
-          state — the unfused form gathered the full width at ~22
-          columns and then sliced."""
+        - only the DROPPED TAIL flushes its radiance (a 4-column gather
+          of N-k rows + a 3-channel scatter), correct in BOTH cases:
+          dead tail lanes leave the wavefront, and under overflow the
+          roulette-dropped live lanes' ALREADY-EARNED L is a completed
+          estimate portion that must reach the film unscaled (only the
+          future-contribution weights w/w_em are upweighted). Survivors
+          keep accumulating L in-wavefront — a full-width flush cost
+          ~35 ns x 3 channels per row and dominated the early
+          boundaries where almost every lane survives."""
         from ..ops.pallas.cluster import ray_sort_keys
         keys = ray_sort_keys(scene.clusters, state['o'], state['d'])
         cnt = jnp.sum(state['alive'].astype(jnp.int32))
@@ -847,11 +851,21 @@ def trace_rays(scene: SceneData, cam: Camera, orig: Vec3, d: Vec3,
         keys = jnp.where(state['alive'],
                          jnp.where(over, rkeys, keys), _DEAD_KEY)
         order = jnp.argsort(keys)
-        film = flush(film, state)
-        st = dict(state)
-        del st['L']
-        new = _permute_state(st, order[:k])
-        new['L'] = _zeros3(k)
+        tail = order[k:]
+        if n < (1 << 24):
+            # fkey rides the f32 plane losslessly (ids < 2^24)
+            packed = jnp.stack([state['L'].x, state['L'].y, state['L'].z,
+                                state['fkey'].astype(jnp.float32)],
+                               axis=1)[tail]
+            ids = packed[:, 3].astype(jnp.int32)
+        else:
+            packed = jnp.stack([state['L'].x, state['L'].y,
+                                state['L'].z], axis=1)[tail]
+            ids = state['fkey'][tail]
+        film = (film[0].at[ids].add(packed[:, 0], mode='drop'),
+                film[1].at[ids].add(packed[:, 1], mode='drop'),
+                film[2].at[ids].add(packed[:, 2], mode='drop'))
+        new = _permute_state(state, order[:k])
         new['alive'] = new['alive'] & (jnp.arange(k) < cnt)
         factor = jnp.where(over, cnt.astype(jnp.float32) / k, 1.0)
         for f in ('w', 'w_em'):
